@@ -1,0 +1,176 @@
+"""URL-seen set at scale: per-partition Bloom sketches, broadcast-merged,
+with an exact confirm join so correctness is never probabilistic.
+
+The reference's seen set is an in-memory ``HashSet`` (one per crawler,
+HeadlessBrowserCrawler.cs:14 / SitemapCrawler.cs:15 / Abot's internal
+repository) — fine for 100 pages, impossible at the 10^10-URL frontier the
+north_rule targets. Design here (north_star architecture):
+
+1. Each iteration, the newly-seen url_hash partition slices each build a
+   numpy Bloom bitmap (mapInPandas — Arrow batches, no per-row Python),
+   the driver ORs the per-partition bitmaps, and the merged sketch is
+   broadcast for the next iteration.
+2. The candidate wave is split by the sketch: rows the Bloom says
+   DEFINITELY-UNSEEN (no false negatives) bypass the join entirely; only
+   the "maybe seen" sliver takes the exact ``left_anti`` join against the
+   seen table. False positives therefore cost a join lookup, never a
+   wrongly-dropped URL — dedup stays EXACT while the shuffle join input
+   shrinks to ~the true-duplicate rate + FP rate.
+
+At 10^10 keys a single sketch at 16 bits/key is ~20 GB — too big to
+broadcast whole; the same design shards the sketch by ``pmod(url_hash,
+n_shards)`` with each executor holding only resident shards (documented
+scale path; the sharding math is identical, see ShardedBloom below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MULT = 0x9E3779B97F4A7C15
+MASK64 = (1 << 64) - 1
+
+
+class BloomFilter:
+    """Fixed-size Bloom over 64-bit hashes; double hashing, k probes."""
+
+    def __init__(self, n_bits: int, k: int = 7, bits: np.ndarray | None = None):
+        assert n_bits % 8 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 8, dtype=np.uint8)
+
+    @staticmethod
+    def sized_for(n_keys: int, bits_per_key: int = 16) -> "BloomFilter":
+        n_bits = max(1 << 13, 1 << int(np.ceil(np.log2(max(n_keys, 1) * bits_per_key))))
+        return BloomFilter(n_bits)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via double hashing h1 + i*h2."""
+        h = hashes.astype(np.uint64)
+        h1 = h
+        h2 = ((h * np.uint64(MULT)) & np.uint64(MASK64)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        pos = self._positions(np.asarray(hashes))
+        np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(hashes))
+        hit = (self.bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return hit.all(axis=1)
+
+    def merge_(self, other_bits: bytes | np.ndarray) -> None:
+        arr = np.frombuffer(other_bits, dtype=np.uint8) if isinstance(other_bits, (bytes, bytearray)) else other_bits
+        np.bitwise_or(self.bits, arr, out=self.bits)
+
+    def fp_rate(self, n_keys: int) -> float:
+        return float((1 - np.exp(-self.k * n_keys / self.n_bits)) ** self.k)
+
+
+def build_partition_sketches(df: DataFrame, hash_col: str, n_bits: int, k: int = 7) -> list[bytes]:
+    """Per-partition Bloom bitmaps over ``hash_col`` (mapInPandas), returned
+    for the driver-side OR-merge. One row (partition_id, bitmap) per task."""
+    import pandas as pd  # executor-side import
+
+    def build(batches):
+        bf = BloomFilter(n_bits, k)
+        for pdf in batches:
+            bf.add_many(pdf[hash_col].to_numpy(dtype=np.int64))
+        yield pd.DataFrame({"bitmap": [bf.bits.tobytes()]})
+
+    rows = (
+        df.select(hash_col)
+        .mapInPandas(build, "bitmap binary")
+        .collect()
+    )
+    return [r["bitmap"] for r in rows]
+
+
+def merged_sketch(df: DataFrame, hash_col: str, n_bits: int, k: int = 7) -> BloomFilter:
+    bf = BloomFilter(n_bits, k)
+    for bm in build_partition_sketches(df, hash_col, n_bits, k):
+        bf.merge_(bm)
+    return bf
+
+
+def split_by_sketch(candidates: DataFrame, sketch: BloomFilter, hash_col: str = "url_hash") -> DataFrame:
+    """Add ``maybe_seen`` from the broadcast sketch (Arrow-batched probe)."""
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast((sketch.n_bits, sketch.k, sketch.bits.tobytes()))
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        n_bits, k, bits = b.value
+        bf = BloomFilter(n_bits, k, np.frombuffer(bits, dtype=np.uint8))
+        return pd.Series(bf.contains_many(h.to_numpy(dtype=np.int64)))
+
+    return candidates.withColumn("maybe_seen", probe(F.col(hash_col)))
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    sketch: BloomFilter | None,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """EXACT dedup against the seen set, Bloom-accelerated.
+
+    definite-new rows (sketch says absent — Bloom has no false negatives)
+    skip the join; only maybe-seen rows take the exact left_anti join.
+    """
+    if seen is None:
+        return candidates
+    if sketch is None:
+        return candidates.join(
+            seen.select(hash_col).distinct(), on=hash_col, how="left_anti"
+        )
+    tagged = split_by_sketch(candidates, sketch, hash_col)
+    definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(
+        seen.select(hash_col).distinct(), on=hash_col, how="left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)
+
+
+class ShardedBloom:
+    """Scale path for 10^10 keys: shard the sketch by pmod(url_hash, S).
+
+    Each shard is an independent BloomFilter sized for n_keys/S; an
+    executor probing a hash touches exactly one shard. At 16 bits/key and
+    S=1024, a 10^10-key seen set is ~20 MB/shard — broadcastable per-shard
+    or resident per-executor via partition-aligned placement. Exercised at
+    reduced scale in tests; the single-sketch path above is what the
+    fixture-scale engine uses.
+    """
+
+    def __init__(self, n_shards: int, n_bits_per_shard: int, k: int = 7):
+        self.n_shards = n_shards
+        self.shards = [BloomFilter(n_bits_per_shard, k) for _ in range(n_shards)]
+
+    def _sid(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        sid = self._sid(hashes)
+        for s in np.unique(sid):
+            self.shards[int(s)].add_many(hashes[sid == s])
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        sid = self._sid(np.asarray(hashes))
+        for s in np.unique(sid):
+            m = sid == s
+            out[m] = self.shards[int(s)].contains_many(np.asarray(hashes)[m])
+        return out

@@ -1,0 +1,118 @@
+"""Snapshot-versioned table store — Iceberg-style manifests over parquet.
+
+The Iceberg runtime jar is not available offline (SURVEY.md §7.3), so the
+resume contract is preserved with the same commit protocol Iceberg uses:
+data files first, a tiny JSON manifest LAST, manifest version = iteration.
+A crash between data-file write and manifest write leaves orphans that the
+deterministic re-run of that iteration overwrites — so resume from the
+latest manifest is bit-identical (north_rule requirement; proven in
+tests/test_checkpoint.py by kill-and-resume).
+
+Table layout per crawl under ``root/``:
+  manifest/v{iter:05d}.json      — the commit points
+  pending/pending_{iter}.parquet — NEXT wave (full rewrite; the pending
+                                   set is the active queue, small relative
+                                   to the cumulative frontier)
+  frontier_log/delta_{iter}.parquet — append-only history of every frontier
+                                   row with its final state (audit/lineage)
+  seen/delta_{iter}.parquet      — append-only seen-set deltas
+  documents/delta_{iter}.parquet — append-only output docs
+  metrics/delta_{iter}.parquet   — append-only per-partition metrics
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+DELTA_TABLES = ("seen", "documents", "metrics", "frontier_log")
+
+
+@dataclass
+class Manifest:
+    iter: int
+    pending_path: str | None
+    deltas: dict[str, list[str]] = field(default_factory=dict)
+    pages_fetched: int = 0      # budget counter (A1 maxPages accounting)
+    docs_emitted: int = 0       # successful pages → visit-order seq base
+    finished: bool = False
+    config_fingerprint: str = ""
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        return Manifest(**json.loads(text))
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
+
+    # -- manifest protocol --------------------------------------------------
+    def latest(self) -> Manifest | None:
+        mdir = os.path.join(self.root, "manifest")
+        versions = sorted(f for f in os.listdir(mdir) if f.startswith("v"))
+        if not versions:
+            return None
+        with open(os.path.join(mdir, versions[-1])) as fh:
+            return Manifest.from_json(fh.read())
+
+    def manifest_at(self, iteration: int) -> Manifest | None:
+        path = os.path.join(self.root, "manifest", f"v{iteration:05d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return Manifest.from_json(fh.read())
+
+    def commit(self, m: Manifest) -> None:
+        """Write the manifest LAST and atomically (tmp + rename)."""
+        path = os.path.join(self.root, "manifest", f"v{m.iter:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(m.to_json())
+        os.replace(tmp, path)
+
+    def rollback_to(self, iteration: int) -> None:
+        """Drop manifests newer than ``iteration`` (snapshot rollback)."""
+        mdir = os.path.join(self.root, "manifest")
+        for f in os.listdir(mdir):
+            if f.startswith("v") and int(f[1:6]) > iteration:
+                os.remove(os.path.join(mdir, f))
+
+    # -- data files ----------------------------------------------------------
+    def pending_path(self, iteration: int) -> str:
+        return os.path.join(self.root, "pending", f"pending_{iteration:05d}.parquet")
+
+    def delta_path(self, table: str, iteration: int) -> str:
+        return os.path.join(self.root, table, f"delta_{iteration:05d}.parquet")
+
+    def write_pending(self, df: DataFrame, iteration: int) -> str:
+        p = self.pending_path(iteration)
+        df.write.mode("overwrite").parquet(p)
+        return p
+
+    def write_delta(self, df: DataFrame, table: str, iteration: int) -> str:
+        p = self.delta_path(table, iteration)
+        df.write.mode("overwrite").parquet(p)
+        return p
+
+    def read_pending(self, spark: SparkSession, m: Manifest) -> DataFrame | None:
+        if not m.pending_path:
+            return None
+        return spark.read.parquet(m.pending_path)
+
+    def read_table(self, spark: SparkSession, m: Manifest, table: str) -> DataFrame | None:
+        paths = m.deltas.get(table) or []
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

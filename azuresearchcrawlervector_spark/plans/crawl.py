@@ -1,0 +1,448 @@
+"""The frontier engine: ONE iterative dataflow, three traversal policies.
+
+Replaces the reference's three crawler classes (AbotCrawler /
+SitemapCrawler / HeadlessBrowserCrawler — SURVEY.md §3) with a single
+driver loop over an explicit frontier table. Each iteration ("wave") is a
+declarative DataFrame plan; Catalyst/AQE pick physical strategies; the
+loop is the only imperative code.
+
+Wave dataflow (SURVEY.md §3.1 "Spark equivalent lifecycle"):
+
+  pending ─ dedupe(min priority per url_hash)
+          ─ politeness budget (Window per host, BEFORE salting — P1)
+          ─ global maxPages cap (TakeOrderedAndProject on priority — A1)
+          ─ salted repartition (P2, hot-host skew)
+          ─ fetch-join against the pages table (J5; status filter F3)
+          ─ extraction UDF (T1/T2, one parse per page; selector F5/F6)
+          ─ image join + decode/validate UDF (PSNR + caption invariant)
+          ─ documents append (id = sha2(url,512) — T5)
+          ─ link explode → F1 filter → canonicalize UDF → same-host F2
+            → depth gate A2 → anti-join seen (Bloom + exact, J1-J3)
+          ─ commit snapshot (pending' / seen Δ / documents Δ / metrics Δ)
+
+Traversal policies as priority keys (O1-O3):
+  STANDARD  priority = f"{depth:03d}|{path}"   (FIFO-BFS schedule order)
+  HEADLESS  priority = path                    (DFS preorder; the wave is
+            capped to ONE page per iteration — preorder in a cyclic graph
+            is inherently sequential, SURVEY.md §7.3; correctness mode)
+  SITEMAP   priority = f"{seq:09d}"            (sitemap document order)
+where path = "{seed:05d}.{link_pos:05d}.{...}" accumulates along the
+discovery path, so lexicographic order on (depth, path) reproduces the
+single-thread-equivalent FIFO schedule the oracle asserts.
+
+Invariant maintained across waves: pending ∩ seen = ∅ — new links are
+exact-deduped (Bloom-prefiltered) at append time, fetched rows leave
+pending, so no per-wave re-dedup of the whole frontier is needed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..config import CrawlConfig, CrawlMode, SeenOn
+from ..core.urls import canonicalize, host_of
+from ..core.xxh import url_hash
+from ..functions.embeddings import make_embed_udf
+from ..functions.html import with_extraction
+from ..functions.imagefn import with_image_validation
+from ..functions.urls import (
+    canonicalize_udf, doc_id_col, host_udf, href_is_crawlable_col, url_hash_col,
+)
+from ..operators.politeness import apply_politeness, salted_repartition
+from ..operators.seen import BloomFilter, anti_join_seen, merged_sketch
+from .checkpoint import Manifest, SnapshotStore
+
+PENDING_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("url_hash", LongType(), False),
+    StructField("host", StringType(), True),
+    StructField("root_host", StringType(), True),
+    StructField("depth", IntegerType(), False),
+    StructField("path", StringType(), False),
+    StructField("priority", StringType(), False),
+    StructField("parent_url", StringType(), True),
+    StructField("link_pos", IntegerType(), True),
+    StructField("iter_added", IntegerType(), False),
+])
+
+SEEN_SCHEMA = "url_hash long, url string, iter int"
+
+
+@dataclass
+class CrawlResult:
+    store: SnapshotStore
+    manifest: Manifest
+
+    def documents(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_table(spark, self.manifest, "documents")
+
+    def seen(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_table(spark, self.manifest, "seen")
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_table(spark, self.manifest, "metrics")
+
+    def frontier_log(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_table(spark, self.manifest, "frontier_log")
+
+
+def _priority_expr(mode: CrawlMode):
+    if mode == CrawlMode.STANDARD:
+        return F.concat(F.format_string("%03d", F.col("depth")), F.lit("|"), F.col("path"))
+    return F.col("path")  # HEADLESS: pure DFS path key
+
+
+class CrawlEngine:
+    """Batch-iterative crawl over (pages, images, robots) fixture tables.
+
+    In a live deployment the fetch-join (J5) would be an async HTTP pool
+    inside mapInPandas; per BASELINE.json the graft resolves fetches
+    against the image+caption table — the dataflow is identical.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        cfg: CrawlConfig,
+        checkpoint_dir: str,
+        images: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        seeds: list[str] | None = None,
+        track_order: bool = True,
+        validate_images: bool = True,
+        max_iters: int = 1000,
+        seed_pending: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.images = images
+        self.robots = robots
+        self.cfg = cfg
+        self.store = SnapshotStore(checkpoint_dir)
+        self.seeds = seeds or [cfg.root_url]
+        self.track_order = track_order
+        self.validate_images = validate_images and images is not None
+        self.max_iters = max_iters
+        self.seed_pending = seed_pending
+        self._embed = make_embed_udf(cfg.embedding_dim)
+
+    # ------------------------------------------------------------------ seed
+    def _seed_pending(self) -> DataFrame:
+        if self.seed_pending is not None:
+            return self.seed_pending
+        rows = []
+        for i, s in enumerate(self.seeds):
+            u = canonicalize(None, s)
+            if u is None:  # F7 malformed-seed guard (CrawlerMain.cs:271-275)
+                continue
+            rows.append((u, url_hash(u), host_of(u), host_of(u), 0,
+                         f"{i:05d}", "", None, None, 0))
+        df = self.spark.createDataFrame(rows, PENDING_SCHEMA)
+        return df.withColumn("priority", _priority_expr(self.cfg.mode))
+
+    # ------------------------------------------------------------------ run
+    def run(self, resume: bool = False) -> CrawlResult:
+        m = self.store.latest() if resume else None
+        if m is None:
+            pending = self._seed_pending()
+            path = self.store.write_pending(pending, 0)
+            m = Manifest(iter=0, pending_path=path, deltas={}, pages_fetched=0)
+            self.store.commit(m)
+        if m.finished:
+            return CrawlResult(self.store, m)
+
+        wall_guard = time.monotonic() + self.cfg.max_pages * 10  # P5 analog
+        while m.iter < self.max_iters and time.monotonic() < wall_guard:
+            m = self._wave(m)
+            if m.finished:
+                break
+        if not m.finished:
+            m.finished = True
+            self.store.commit(m)
+        return CrawlResult(self.store, m)
+
+    # ------------------------------------------------------------------ wave
+    def _wave(self, m: Manifest) -> Manifest:
+        spark, cfg, i = self.spark, self.cfg, m.iter + 1
+        t0 = time.monotonic()
+        remaining = cfg.max_pages - m.pages_fetched
+        pending = self.store.read_pending(spark, m)
+        if remaining <= 0 or pending is None or pending.isEmpty():
+            m.finished = True
+            self.store.commit(m)
+            return m
+
+        # defensive within-frontier dedup: keep first-discovered row per URL
+        w_url = Window.partitionBy("url_hash").orderBy(F.col("priority").asc())
+        cand = (
+            pending.withColumn("_rn", F.row_number().over(w_url))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+
+        # P1 politeness (standard mode): per-host budget BEFORE salting
+        if cfg.politeness and cfg.mode == CrawlMode.STANDARD:
+            tagged = apply_politeness(cand, self.robots, cfg.iter_window_ms)
+            budget_due = tagged.filter(F.col("due")).drop("due", "host_rank", "host_budget", "crawl_delay_ms")
+            budget_carry = tagged.filter(~F.col("due")).drop("due", "host_rank", "host_budget", "crawl_delay_ms")
+        else:
+            budget_due, budget_carry = cand, cand.limit(0)
+
+        # A1 global maxPages cap — deterministic top-K on priority
+        cap = 1 if cfg.mode == CrawlMode.HEADLESS else remaining
+        due = budget_due.orderBy("priority").limit(cap).persist()
+        due_n = due.count()
+        if due_n == 0:
+            m.finished = True
+            self.store.commit(m)
+            due.unpersist()
+            return m
+        overflow = budget_due.join(due.select("url_hash"), "url_hash", "left_anti")
+        carried = budget_carry.unionByName(overflow)
+
+        # P2 salted repartition for the fetch stage (hot-host skew)
+        due_salted = salted_repartition(due, cfg.salt_partitions)
+
+        # J5 fetch = equi-join against the pages table; left join keeps
+        # dead links as failed fetches (F3 side-output semantics)
+        fetch = due_salted.join(
+            self.pages.select("url", "status", "html", "image_id"),
+            on="url", how="left",
+        ).withColumn("fetch_ok", (F.col("status") == 200) & F.col("html").isNotNull())
+        fetch = fetch.persist()
+        ok = fetch.filter(F.col("fetch_ok"))
+        ok_n = ok.count()
+
+        # T1/T2 extraction — ONE parse per page (UDF), selector scoping F5/F6
+        extracted = with_extraction(ok, "html", cfg.dom_selector).persist()
+
+        # visit order (oracle contract): seq = fetched_so_far + rank(priority).
+        # Global window = fine at oracle scale; disabled for bench runs
+        # (track_order=False) where a global total order is the bottleneck.
+        if self.track_order:
+            w_seq = Window.orderBy(F.col("priority").asc())
+            extracted_seq = extracted.withColumn(
+                "seq", F.row_number().over(w_seq) + F.lit(m.docs_emitted)
+            )
+        else:
+            extracted_seq = extracted.withColumn("seq", F.lit(None).cast("int"))
+
+        # documents: id = sha2(url,512) (T5), truncation-before-embed (T4),
+        # pseudo-embeddings (S10), image fetch invariant (input_hint)
+        docs = (
+            extracted_seq
+            .filter(F.length("content") > 0)  # F4 empty-content skip
+            .withColumn("id", doc_id_col("url"))
+            .withColumn("title_vector", self._embed(F.substring("title", 1, 8000)))
+            .withColumn("content_vector", self._embed(F.substring("content", 1, 8000)))
+        )
+        if self.validate_images:
+            docs = docs.join(F.broadcast(self.images), on="image_id", how="left")
+            docs = with_image_validation(docs)
+            docs = docs.withColumn(
+                "caption_ok",
+                F.col("caption") == F.concat(F.lit("synthetic caption for "), F.col("image_id")),
+            )
+        else:
+            docs = (docs.withColumn("img_ok", F.lit(None).cast("boolean"))
+                        .withColumn("psnr_db", F.lit(None).cast("double"))
+                        .withColumn("caption_ok", F.lit(None).cast("boolean")))
+        docs_out = docs.select(
+            "id", "url", "seq", "depth", "title", "content",
+            "title_vector", "content_vector", "image_id",
+            "img_ok", "psnr_db", "caption_ok",
+        )
+
+        # links: A2 depth gate (extract only below max_depth), F5/F6 selector,
+        # F1 shape filter, J4 absolutize, F2 same-host, exact dedup J1-J3
+        links = (
+            extracted.filter(F.col("depth") < cfg.max_depth)
+            .select(
+                F.col("url").alias("parent_url"),
+                F.col("root_host"),
+                F.col("depth").alias("parent_depth"),
+                F.col("path").alias("parent_path"),
+                F.explode_outer("links").alias("lnk"),
+            )
+            .filter(F.col("lnk").isNotNull())
+        )
+        if cfg.dom_selector:
+            links = links.filter(F.col("lnk.in_selector"))
+        links = (
+            links.filter(href_is_crawlable_col(F.col("lnk.href")))
+            .withColumn("url", canonicalize_udf(F.col("parent_url"), F.col("lnk.href")))
+            .filter(F.col("url").isNotNull())  # F7 malformed guard
+            .withColumn("host", host_udf(F.col("url")))
+        )
+        if cfg.same_host_only:
+            links = links.filter(F.col("host") == F.col("root_host"))
+        children = (
+            links.withColumn("depth", F.col("parent_depth") + 1)
+            .withColumn("link_pos", F.col("lnk.link_pos"))
+            .withColumn(
+                "path",
+                F.concat(F.col("parent_path"), F.lit("."),
+                         F.format_string("%05d", F.col("link_pos"))),
+            )
+            .withColumn("priority", _priority_expr(cfg.mode))
+            .withColumn("url_hash", url_hash_col("url"))
+            .withColumn("iter_added", F.lit(i))
+            .select(*[f.name for f in PENDING_SCHEMA.fields])
+        )
+        # within-wave first-discovery dedup
+        children = (
+            children.withColumn("_rn", F.row_number().over(w_url))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+
+        # seen-set semantics (SURVEY.md §7.3): STANDARD/SITEMAP dedupe at
+        # schedule time (all attempted URLs); HEADLESS only on success —
+        # failed URLs stay retriable (HeadlessBrowserCrawler.cs:161)
+        if cfg.seen_on_effective == SeenOn.SUCCESS:
+            seen_delta = ok.select("url_hash", "url").withColumn("iter", F.lit(i))
+        else:
+            seen_delta = fetch.select("url_hash", "url").withColumn("iter", F.lit(i))
+
+        # exact anti-join against (seen ∪ this wave ∪ carried), Bloom-assisted
+        seen_prev = self.store.read_table(spark, m, "seen")
+        sketch = None
+        # the sketch pays off once the seen table is big enough that the
+        # exact join's shuffle dominates; below that, plain left_anti wins
+        if seen_prev is not None and m.pages_fetched >= 5000:
+            sketch = merged_sketch(
+                seen_prev, "url_hash",
+                BloomFilter.sized_for(
+                    max(m.pages_fetched, 1024), cfg.bloom_bits_per_key
+                ).n_bits,
+            )
+        new_pending = anti_join_seen(children, seen_prev, sketch)
+        new_pending = new_pending.join(
+            seen_delta.select("url_hash"), "url_hash", "left_anti"
+        )
+        if cfg.mode == CrawlMode.HEADLESS:
+            # DFS preorder: a later-discovered path can be lexicographically
+            # SMALLER than the already-pending row's path (the new parent was
+            # expanded first because its path ranked first). Keep the min —
+            # the wave-start dedup picks rn=1 by priority over the union.
+            pending_next = carried.unionByName(new_pending)
+        else:
+            # BFS/sitemap: first discovery always has the minimal priority
+            # (child depth ≥ pending depth, path monotone within a depth) —
+            # drop duplicates of carried rows outright.
+            new_pending = new_pending.join(
+                carried.select("url_hash"), "url_hash", "left_anti"
+            )
+            pending_next = carried.unionByName(new_pending)
+
+        # ---- commit: data files first, manifest last ----
+        seen_paths = list(m.deltas.get("seen", []))
+        doc_paths = list(m.deltas.get("documents", []))
+        met_paths = list(m.deltas.get("metrics", []))
+        log_paths = list(m.deltas.get("frontier_log", []))
+
+        seen_paths.append(self.store.write_delta(seen_delta, "seen", i))
+        doc_paths.append(self.store.write_delta(docs_out, "documents", i))
+        log_paths.append(self.store.write_delta(
+            fetch.select(
+                "url", "url_hash", "host", "depth", "priority", "parent_url",
+                "link_pos", "fetch_ok",
+            ).withColumn("iter", F.lit(i)).withColumn(
+                "state", F.when(F.col("fetch_ok"), "fetched").otherwise("failed")
+            ).drop("fetch_ok"), "frontier_log", i))
+        pending_path = self.store.write_pending(pending_next, i)
+
+        # metrics: per-partition fetch/failure rows + a global (-1) row;
+        # counts come from the WRITTEN pending file (no plan re-execution)
+        pending_written = spark.read.parquet(pending_path)
+        new_links_n = pending_written.filter(F.col("iter_added") == i).count()
+        part_stats = (
+            fetch.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.sum(F.col("fetch_ok").cast("long")).alias("fetched"),
+                F.sum((~F.col("fetch_ok")).cast("long")).alias("failed"),
+            )
+            .withColumn("iter", F.lit(i))
+            .withColumn("urls_in", F.lit(None).cast("long"))
+            .withColumn("deduped", F.lit(None).cast("long"))
+            .withColumn("new_links", F.lit(None).cast("long"))
+            .withColumn("wall_ms", F.lit(None).cast("double"))
+        )
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        global_row = spark.createDataFrame(
+            [(i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms)],
+            "iter int, partition_id int, urls_in long, deduped long, "
+            "fetched long, failed long, new_links long, wall_ms double",
+        )
+        metrics = part_stats.select(
+            "iter", "partition_id", "urls_in", "deduped", "fetched",
+            "failed", "new_links", "wall_ms",
+        ).unionByName(global_row)
+        met_paths.append(self.store.write_delta(metrics, "metrics", i))
+
+        fetched_count = due_n if cfg.seen_on_effective == SeenOn.SCHEDULE else ok_n
+        m2 = Manifest(
+            iter=i,
+            pending_path=pending_path,
+            deltas={"seen": seen_paths, "documents": doc_paths,
+                    "metrics": met_paths, "frontier_log": log_paths},
+            pages_fetched=m.pages_fetched + fetched_count,
+            docs_emitted=m.docs_emitted + ok_n,
+            finished=False,
+        )
+        self.store.commit(m2)
+        due.unpersist()
+        fetch.unpersist()
+        extracted.unpersist()
+        return m2
+
+
+def run_sitemap_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    checkpoint_dir: str,
+    sitemap_bodies: dict[str, str],
+    images: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    **engine_kw,
+) -> CrawlResult:
+    """Sitemap mode (O3): driver-side discovery over the per-host sitemap
+    documents (a handful of small XMLs — the reference is sequential here
+    too, SitemapCrawler.cs:204-274), then the SAME wave engine fetches the
+    discovered URLs in document order. No link following (the reference
+    sitemap crawler never extracts links), no politeness delay.
+    """
+    from ..sources.sitemap import discover_sitemap_urls
+
+    lookup = {k.lower(): v for k, v in sitemap_bodies.items()}
+    urls = discover_sitemap_urls(cfg.root_url, lambda u: lookup.get(u.lower()))
+    root_host = host_of(canonicalize(None, cfg.root_url))
+    rows = []
+    seen_urls = set()
+    for pos, u in enumerate(urls):
+        if u in seen_urls:
+            continue
+        if cfg.same_host_only and host_of(u) != root_host:
+            continue  # F2 same-host filter (SitemapCrawler.cs:159-163)
+        seen_urls.add(u)
+        rows.append((u, url_hash(u), host_of(u), root_host, 0,
+                     f"{pos:09d}", f"{pos:09d}", None, pos, 0))
+    seed = spark.createDataFrame(rows, PENDING_SCHEMA)
+    sm_cfg = CrawlConfig(
+        root_url=cfg.root_url, mode=CrawlMode.SITEMAP, max_pages=cfg.max_pages,
+        max_depth=0, dom_selector=cfg.dom_selector,
+        same_host_only=cfg.same_host_only, politeness=False,
+        seen_on=SeenOn.SUCCESS, embedding_dim=cfg.embedding_dim,
+    )
+    engine = CrawlEngine(
+        spark, pages, sm_cfg, checkpoint_dir, images=images, robots=robots,
+        seed_pending=seed, **engine_kw,
+    )
+    return engine.run()
