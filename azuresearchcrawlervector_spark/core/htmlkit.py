@@ -60,8 +60,19 @@ class _Extractor(HTMLParser):
         self._sel_depth = 0          # >0 while inside a selector-matched subtree
         self._stack: list[tuple[str, bool, bool]] = []  # (tag, was_skip, was_sel)
         self.text_chunks: list[str] = []
+        self._pending_text: list[str] = []  # contiguous data+entities = ONE text node
         self.links: list[tuple[str, int, bool]] = []  # (href, link_pos, in_selector)
         self._link_pos = 0
+
+    def _flush_text(self):
+        """A tag boundary ends the current text node — entity references
+        inside a node must NOT split it (DOM semantics: AngleSharp decodes
+        entities within a single text node)."""
+        if self._pending_text:
+            chunk = unescape("".join(self._pending_text)).strip()
+            self._pending_text.clear()
+            if chunk:
+                self.text_chunks.append(chunk)
 
     def _matches_selector(self, tag: str, attrs: dict[str, str | None]) -> bool:
         if not self.has_selector:
@@ -75,6 +86,7 @@ class _Extractor(HTMLParser):
         return True
 
     def handle_starttag(self, tag, attrs):
+        self._flush_text()
         attrs_d = dict(attrs)
         if tag in _VOID_TAGS:
             return
@@ -96,6 +108,7 @@ class _Extractor(HTMLParser):
                 self._link_pos += 1
 
     def handle_endtag(self, tag):
+        self._flush_text()
         # pop back to the matching open tag, tolerating malformed nesting
         for i in range(len(self._stack) - 1, -1, -1):
             t, was_skip, was_sel = self._stack[i]
@@ -119,9 +132,7 @@ class _Extractor(HTMLParser):
             self._title_buf.append(data)
             return
         if self._in_body > 0 and self._skip_depth == 0:
-            chunk = unescape(data).strip()
-            if chunk:
-                self.text_chunks.append(chunk)
+            self._pending_text.append(data)
 
     def handle_data(self, data):
         self._text(data)
@@ -152,6 +163,7 @@ def extract_page(
         p.close()
     except Exception:
         pass  # malformed HTML: keep whatever was extracted (TextExtractorTests.cs:68,188)
+    p._flush_text()
     if p.title is None and p._title_buf:
         p.title = unescape("".join(p._title_buf)).strip()
     title = p.title or ""

@@ -26,6 +26,7 @@ scale path; the sharding math is identical, see ShardedBloom below).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,12 +49,26 @@ class BloomFilter:
         return BloomFilter(n_bits)
 
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
-        """(n, k) bit positions via double hashing h1 + i*h2."""
+        """(n, k) bit positions via double hashing h1 + i*h2.
+
+        n_bits is a power of two, so the modulo keeps only LOW bits — h2
+        must not be a pure function of h's low bits or all k probes
+        collapse to ~log2(n_bits) bits of entropy. A splitmix64-style
+        finalizer folds the high bits in first.
+        """
         h = hashes.astype(np.uint64)
-        h1 = h
-        h2 = ((h * np.uint64(MULT)) & np.uint64(MASK64)) | np.uint64(1)
-        i = np.arange(self.k, dtype=np.uint64)
-        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            x = h.copy()
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            h1 = x
+            h2 = ((x >> np.uint64(32)) ^ (h * np.uint64(MULT))) | np.uint64(1)
+            i = np.arange(self.k, dtype=np.uint64)
+            pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)
+        return pos.astype(np.int64)
 
     def add_many(self, hashes: np.ndarray) -> None:
         if len(hashes) == 0:
@@ -79,8 +94,6 @@ class BloomFilter:
 def build_partition_sketches(df: DataFrame, hash_col: str, n_bits: int, k: int = 7) -> list[bytes]:
     """Per-partition Bloom bitmaps over ``hash_col`` (mapInPandas), returned
     for the driver-side OR-merge. One row (partition_id, bitmap) per task."""
-    import pandas as pd  # executor-side import
-
     def build(batches):
         bf = BloomFilter(n_bits, k)
         for pdf in batches:
@@ -104,8 +117,6 @@ def merged_sketch(df: DataFrame, hash_col: str, n_bits: int, k: int = 7) -> Bloo
 
 def split_by_sketch(candidates: DataFrame, sketch: BloomFilter, hash_col: str = "url_hash") -> DataFrame:
     """Add ``maybe_seen`` from the broadcast sketch (Arrow-batched probe)."""
-    import pandas as pd
-
     spark = candidates.sparkSession
     b = spark.sparkContext.broadcast((sketch.n_bits, sketch.k, sketch.bits.tobytes()))
 

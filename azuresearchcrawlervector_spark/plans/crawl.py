@@ -164,9 +164,8 @@ class CrawlEngine:
             m = self._wave(m)
             if m.finished:
                 break
-        if not m.finished:
-            m.finished = True
-            self.store.commit(m)
+        # NOTE: stopping on max_iters / wall-clock leaves finished=False —
+        # exactly the state a kill leaves, so run(resume=True) continues.
         return CrawlResult(self.store, m)
 
     # ------------------------------------------------------------------ wave

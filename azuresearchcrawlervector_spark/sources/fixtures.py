@@ -57,17 +57,12 @@ def render_html(spec: PageSpec, selector_cls: str | None = None) -> str:
         # entity-encoded text exercises HtmlDecode (TextExtractorTests.cs:161-173)
         f"<p>{spec.body_text.replace('&', '&amp;').replace('<', '&lt;')}</p>",
     ]
-    in_div = [h for h, s in spec.links if s]
-    out_div = [h for h, s in spec.links if not s]
-    if selector_cls and in_div:
-        parts.append(f'<div class="{selector_cls}">')
-        for h in in_div:
-            parts.append(f'<a href="{h}">{h}</a>')
-        parts.append("</div>")
-        for h in out_div:
-            parts.append(f'<a href="{h}">{h}</a>')
-    else:
-        for h, _s in spec.links:
+    # document order MUST equal spec order (link_pos ground truth): each
+    # selector-scoped link gets its own wrapping div
+    for h, s in spec.links:
+        if selector_cls and s:
+            parts.append(f'<div class="{selector_cls}"><a href="{h}">{h}</a></div>')
+        else:
             parts.append(f'<a href="{h}">{h}</a>')
     # invalid hrefs every page — exercises F1 (HeadlessBrowserCrawler.cs:236-246)
     parts.append('<a href="#top">top</a><a href="javascript:void(0)">js</a>')

@@ -1,0 +1,73 @@
+"""Checkpoint/resume: kill-and-resume must be bit-identical (north_rule).
+
+The reference loses all state on crash (in-memory HashSets — SURVEY.md
+§2.7 P8); snapshot resume is the new capability the north_rule requires.
+"""
+
+from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
+from azuresearchcrawlervector_spark.plans.checkpoint import SnapshotStore
+from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
+from azuresearchcrawlervector_spark.sources.fixtures import test_website as website1_graph
+from azuresearchcrawlervector_spark.sources.synthetic import pages_df
+
+
+def _collect_state(spark, res):
+    docs = sorted(
+        (r["seq"], r["url"], r["id"], r["title"], r["content"])
+        for r in res.documents(spark).collect()
+    )
+    seen = sorted((r["url_hash"], r["url"], r["iter"]) for r in res.seen(spark).collect())
+    return docs, seen
+
+
+def test_kill_and_resume_bit_identical(spark, tmp_path):
+    g = website1_graph()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    pages = pages_df(spark, g)
+
+    # uninterrupted reference run
+    full = CrawlEngine(spark, pages, cfg, str(tmp_path / "full"),
+                       validate_images=False).run()
+    want = _collect_state(spark, full)
+
+    # "killed" run: stop after 2 waves (simulates a mid-crawl crash — the
+    # manifest for wave 2 is the last committed snapshot)
+    killed = CrawlEngine(spark, pages, cfg, str(tmp_path / "crash"),
+                         validate_images=False, max_iters=2)
+    killed.run()
+    m = killed.store.latest()
+    assert m.iter == 2 and not m.finished  # mid-crawl snapshot, resumable
+
+    resumed = CrawlEngine(spark, pages, cfg, str(tmp_path / "crash"),
+                          validate_images=False).run(resume=True)
+    got = _collect_state(spark, resumed)
+    assert got == want
+
+
+def test_resume_of_finished_run_is_noop(spark, tmp_path):
+    g = website1_graph()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD, max_pages=5)
+    pages = pages_df(spark, g)
+    eng = CrawlEngine(spark, pages, cfg, str(tmp_path / "c"), validate_images=False)
+    first = eng.run()
+    again = CrawlEngine(spark, pages, cfg, str(tmp_path / "c"),
+                        validate_images=False).run(resume=True)
+    assert again.manifest.iter == first.manifest.iter
+    assert again.manifest.pages_fetched == first.manifest.pages_fetched
+
+
+def test_snapshot_rollback(spark, tmp_path):
+    g = website1_graph()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    pages = pages_df(spark, g)
+    eng = CrawlEngine(spark, pages, cfg, str(tmp_path / "c"), validate_images=False)
+    res = eng.run()
+    last = res.manifest.iter
+    store = SnapshotStore(str(tmp_path / "c"))
+    store.rollback_to(1)
+    assert store.latest().iter == 1 and not store.latest().finished
+    # resume from the rolled-back snapshot reaches the same final state
+    res2 = CrawlEngine(spark, pages, cfg, str(tmp_path / "c"),
+                       validate_images=False).run(resume=True)
+    assert _collect_state(spark, res2) == _collect_state(spark, res)
+    assert res2.manifest.iter == last

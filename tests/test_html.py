@@ -1,0 +1,86 @@
+"""HTML extraction semantics (TextExtractor.cs:19-80 test table analog)."""
+
+from azuresearchcrawlervector_spark.core.htmlkit import (
+    extract_body_html, extract_page,
+)
+from azuresearchcrawlervector_spark.sources.fixtures import (
+    expected_extraction, render_html, test_website,
+)
+
+
+def test_title_first_wins():
+    # TextExtractorTests.cs:149-159
+    t, _, _ = extract_page("<html><head><title>One</title><title>Two</title></head><body>x</body></html>")
+    assert t == "One"
+
+
+def test_entity_decode():
+    # TextExtractorTests.cs:161-173
+    t, c, _ = extract_page(
+        "<html><head><title>A &amp; B</title></head><body><p>x &lt; y &#65;</p></body></html>"
+    )
+    assert t == "A & B"
+    assert c == "x < y A"
+
+
+def test_noise_removal_and_whitespace():
+    # script/style/svg/path removed (TextExtractor.cs:58-61); \r\n and tabs collapsed
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<script>bad()</script><style>.x{}</style><svg><path d='m'/></svg>"
+        "<p>a\r\n b\t\tc</p><div>  d  </div></body></html>"
+    )
+    _, c, _ = extract_page(html)
+    assert c == "a b c d"
+
+
+def test_no_body_no_title():
+    # TextExtractorTests.cs:134,203,221
+    t, c, _ = extract_page("<html><head></head></html>")
+    assert t == "" and c == ""
+    t, c, _ = extract_page("not html at all")
+    assert t == ""
+
+
+def test_malformed_html_does_not_crash():
+    t, c, links = extract_page("<html><body><div><p>text<a href='/x'>link</body>")
+    assert "text" in c
+    assert links[0][0] == "/x"
+
+
+def test_selector_scoping():
+    # F5/F6: tag.class containment (AbotCrawler.cs:68-88)
+    html = (
+        "<html><body><div class='blog-content extra'><a href='/in.html'>i</a></div>"
+        "<a href='/out.html'>o</a></body></html>"
+    )
+    _, _, links = extract_page(html, "div.blog-content")
+    assert [(h, s) for h, _p, s in links] == [("/in.html", True), ("/out.html", False)]
+    # no selector → pass-through True for all (AbotCrawler.cs:80-83)
+    _, _, links = extract_page(html, None)
+    assert all(s for _h, _p, s in links)
+
+
+def test_link_positions_document_order():
+    html = "<html><body><a href='/a'>1</a><b><a href='/b'>2</a></b><a href='/c'>3</a></body></html>"
+    _, _, links = extract_page(html)
+    assert [(h, p) for h, p, _ in links] == [("/a", 0), ("/b", 1), ("/c", 2)]
+
+
+def test_raw_body_mode():
+    # T3 (TextExtractor.cs:45-48): scripts kept
+    html = "<html><body><script>k()</script><p>x</p></body></html>"
+    assert extract_body_html(html) == "<script>k()</script><p>x</p>"
+
+
+def test_fixture_expected_extraction_matches_kernel():
+    """The generator's ground-truth columns must agree with the extraction
+    kernel on every generated fixture page (engine-side sanity)."""
+    g = test_website()
+    cls = g.selector.partition(".")[2]
+    for spec in g.pages.values():
+        html = render_html(spec, cls)
+        t, c, _ = extract_page(html)
+        et, ec = expected_extraction(spec)
+        assert t == et, spec.url
+        assert c == ec, (spec.url, c, ec)

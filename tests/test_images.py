@@ -1,0 +1,64 @@
+"""Image codec + per-row fetch invariant (BASELINE.json input_hint:
+decoded-pixel allclose / PSNR ≥ 40 dB lossy, caption equality)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from azuresearchcrawlervector_spark.core.images import (
+    generate_pixels, phash64, png_decode, png_encode, psnr,
+    qpng_decode, qpng_encode,
+)
+from azuresearchcrawlervector_spark.functions.imagefn import with_image_validation
+from azuresearchcrawlervector_spark.sources.fixtures import test_website
+from azuresearchcrawlervector_spark.sources.synthetic import images_df
+
+
+def test_png_lossless_roundtrip():
+    px = generate_pixels("img-roundtrip", 37, 23)  # odd dims
+    assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+def test_qpng_lossy_psnr_above_threshold():
+    px = generate_pixels("img-lossy", 64, 48)
+    dec = qpng_decode(qpng_encode(px))
+    assert not np.array_equal(dec, px)  # genuinely lossy
+    assert psnr(px, dec) >= 40.0        # the input_hint invariant
+    assert psnr(px, px) == float("inf")
+
+
+def test_phash_stable_under_quantization():
+    px = generate_pixels("img-phash", 32, 24)
+    assert phash64(px) == phash64(qpng_decode(qpng_encode(px)))
+
+
+def test_pixel_generation_deterministic():
+    a = generate_pixels("img-x", 16, 16)
+    b = generate_pixels("img-x", 16, 16)
+    c = generate_pixels("img-y", 16, 16)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_decode_validate_udf(spark):
+    g = test_website()
+    imgs = images_df(spark, g)
+    validated = with_image_validation(imgs)
+    rows = validated.select("image_id", "fmt", "img_ok", "psnr_db", "phash_dec", "phash").collect()
+    assert len(rows) == len(g.pages)
+    for r in rows:
+        assert r["img_ok"], r["image_id"]
+        if r["fmt"] == "jpeg":
+            assert 40.0 <= r["psnr_db"] < 60.0
+        else:
+            assert r["psnr_db"] >= 1e8  # lossless sentinel
+        # stored phash (of original pixels) matches decoded-pixel phash
+        assert r["phash_dec"] == r["phash"]
+
+
+def test_corrupt_bytes_flagged_not_crashing(spark):
+    df = spark.createDataFrame(
+        [("img-bad", bytearray(b"garbage"), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    row = with_image_validation(df).collect()[0]
+    assert row["img_ok"] is False
