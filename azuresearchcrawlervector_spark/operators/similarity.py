@@ -1,0 +1,93 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline; dot product via
+  zip_with/aggregate (JVM-side) — a TakeOrderedAndProject plan, no UDF.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic seed),
+  probe the query's bucket ± multiprobe flips. The 10^10-row scale path:
+  bucket id is a partition-prunable column, so a query touches only its
+  probed buckets' partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
+
+
+def with_cosine_to(df: DataFrame, query_vec: list[float],
+                   vec_col: str = "embedding") -> DataFrame:
+    """df + cosine(vec_col, query_vec) — the query vector is inlined as an
+    array literal so Catalyst constant-folds its norm."""
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    qlit = "array(" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in query_vec) + ")"
+    return df.withColumn(
+        "cosine",
+        F.round(
+            F.expr(_dot_expr(vec_col, qlit))
+            / (F.sqrt(F.expr(_dot_expr(vec_col, vec_col))) * F.lit(qnorm)),
+            6,
+        ),
+    )
+
+
+def topk_cosine(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id.
+    Plan: scan → project(cosine) → TakeOrderedAndProject(k) — no shuffle
+    of the full table, each partition contributes its local top-k."""
+    return (
+        with_cosine_to(df, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(planes: np.ndarray, vec_col: str) -> str:
+    """SQL expression computing the hyperplane-sign bucket id JVM-side —
+    sum over planes of (dot>0) << p, each dot a constant-folded literal array."""
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "array(" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in row) + ")"
+        terms.append(f"(CASE WHEN {_dot_expr(vec_col, lit)} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
+                    vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("bucket", F.expr(_bucket_expr(planes, vec_col)))
+
+
+def ann_topk_lsh(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, multiprobe: int = 2, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: restrict the exact scan to the query's LSH bucket plus
+    all buckets within ``multiprobe`` sign flips, then brute-force inside.
+
+    At scale the table is WRITTEN partitioned by bucket (partition pruning
+    turns the probe set into a file-level skip); here the filter achieves
+    the same row-pruning inside a scan.
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << p) for p, row in enumerate(planes) if float(row @ q) > 0))
+    probe = [b for b in range(1 << n_planes)
+             if bin(b ^ qbucket).count("1") <= multiprobe]
+    bucketed = with_lsh_bucket(df, planes, vec_col)
+    return (
+        topk_cosine(
+            bucketed.filter(F.col("bucket").isin(probe)), query_vec, k, vec_col, id_col
+        )
+    )

@@ -1,0 +1,146 @@
+"""Dedup family + similarity search + text analysis + multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from azuresearchcrawlervector_spark.functions.text import (
+    fingerprint_col, lang_id_col, quality_score_col, token_count_col,
+)
+from azuresearchcrawlervector_spark.operators.dedup import (
+    embedding_neardup_pairs, exact_dedup, minhash_lsh_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash64, simhash_pairs,
+)
+from azuresearchcrawlervector_spark.operators.multimodal import (
+    image_features, resize_images, sample_frames,
+)
+from azuresearchcrawlervector_spark.operators.similarity import (
+    ann_topk_lsh, topk_cosine,
+)
+from azuresearchcrawlervector_spark.sources.fixtures import test_website as website1_graph
+from azuresearchcrawlervector_spark.sources.synthetic import images_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def dup_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),        # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),         # near dup of 1
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "completely different words entirely here lorem ipsum"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(dup_docs(spark)).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(dup_docs(spark), threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_dups(spark):
+    pairs = minhash_lsh_pairs(dup_docs(spark), threshold=0.5).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys      # identical docs always collide
+    assert (1, 3) in keys      # high-overlap near dup
+    assert (4, 5) not in keys
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    sig = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs(spark)).collect()}
+    est_12 = np.mean([a == b for a, b in zip(sig[1], sig[2])])
+    est_14 = np.mean([a == b for a, b in zip(sig[1], sig[4])])
+    assert est_12 == 1.0
+    assert est_14 < 0.2
+
+
+def test_simhash(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(dup_docs(spark)).collect()}
+    assert out[1] == out[2]
+    h13 = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    h14 = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
+    assert h13 < h14
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(dup_docs(spark), max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_embedding_neardup(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+# ------------------------------------------------------------- similarity
+def test_topk_cosine_exact(spark, embs):
+    q = embs.filter("vec_id = 0").collect()[0]["embedding"]
+    rows = topk_cosine(embs, q, k=5).collect()
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-6
+    assert len(rows) == 5
+    assert all(rows[i]["cosine"] >= rows[i + 1]["cosine"] for i in range(4))
+
+
+def test_ann_lsh_recall(spark, embs):
+    q = embs.filter("vec_id = 0").collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in topk_cosine(embs, q, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              ann_topk_lsh(embs, q, k=10, n_planes=8, multiprobe=2).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, recall  # multiprobe LSH on 500 rows
+
+
+# ------------------------------------------------------------ text analysis
+def test_text_columns(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()
+    assert all(r["n_tokens"] > 0 for r in out)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert all(r["lang_pred"] in ("en", "de", "fr", "es", "und") for r in out)
+    assert len({r["fp"] for r in out}) == len(out)  # no dups in this table
+
+
+# ------------------------------------------------------------- multimodal
+def test_resize_and_features(spark):
+    g = website1_graph()
+    imgs = images_df(spark, g, w=32, h=24)
+    rs = resize_images(imgs, 8, 6).collect()
+    assert all(len(r["pixels"]) == 8 * 6 * 3 for r in rs)
+    feats = image_features(imgs, grid=4).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+
+
+def test_frame_sample_stub(spark):
+    df = spark.createDataFrame(
+        [("m1", bytearray(b"0123456789" * 20))], "media_id string, bytes binary")
+    with pytest.raises(Exception):
+        sample_frames(df, allow_fake=False).collect()  # stub: raises without fake
+    rows = sample_frames(df, allow_fake=True, n_frames=3).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
