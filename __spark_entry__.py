@@ -1,38 +1,444 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end crawl (the north_rule
+artifact): BFS frontier over the deterministic synthetic site +
+image+caption tables (BASELINE.json input_hint: no external data,
+synthesized at small scale), returning the ``documents`` table with
+sha512 ids, extracted title/content, pseudo-embedding vectors and the
+per-row image PSNR/caption invariants.
+
+``queries()``/``oracle_sql()`` cover the engine's Spark primitives and
+the training-data operator suite over /root/testdata (SURVEY.md §2 +
+the dedup/similarity/text-analysis family), each with an ANSI-SQL twin
+for the DuckDB oracle. Probabilistic ops (MinHash-LSH, SimHash — not
+SQL-expressible: xxhash64/blake2 have no DuckDB equivalent) are
+registered without an oracle → rows-only check, by design.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full BFS crawl (dedup → politeness → fetch-join →
+    extract → embed → image-validate) on the 19-page fixture graph."""
+    from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
+    from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    from azuresearchcrawlervector_spark.sources.synthetic import (
+        images_df, pages_df, robots_df,
+    )
+
+    g = test_website()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    ckpt = tempfile.mkdtemp(prefix="crawl_entry_")
+    engine = CrawlEngine(
+        spark, pages_df(spark, g), cfg, ckpt,
+        images=images_df(spark, g),
+        robots=robots_df(spark, ["testsite1.example.com"]),
+    )
+    res = engine.run()
+    return res.documents(spark).orderBy("seq")
 
 
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from azuresearchcrawlervector_spark.functions.text import (
+        fingerprint_col, lang_id_col, quality_score_col,
+        subword_count_col, token_count_col,
+    )
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
+    )
+    from azuresearchcrawlervector_spark.operators.similarity import (
+        ann_topk_lsh, topk_cosine,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- engine primitives over the TPC-H-ish tables ---------------------
+    def q_lineitem_agg(spark, sf):
+        # A4/A1 shape: grouped aggregation with pushdown-able filter
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q_top_orders(spark, sf):
+        # J5 + A1 shape: join + deterministic global top-K
+        o = spark.read.parquet(_t(sf, "orders"))
+        c = spark.read.parquet(_t(sf, "customer"))
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        return (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_name", "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
+
+    def q_region_revenue(spark, sf):
+        # multi-join star agg (broadcast dims)
+        r = spark.read.parquet(_t(sf, "region"))
+        n = spark.read.parquet(_t(sf, "nation"))
+        c = spark.read.parquet(_t(sf, "customer"))
+        o = spark.read.parquet(_t(sf, "orders"))
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy("r_name")
+        )
+
+    def q_anti_join(spark, sf):
+        # J1-J3 shape: the seen-set anti-join (customers with no
+        # high-value orders — the filter makes the result non-trivial)
+        c = spark.read.parquet(_t(sf, "customer"))
+        o = spark.read.parquet(_t(sf, "orders"))
+        return (
+            c.join(o.filter(F.col("o_totalprice") > 300000)
+                    .select("o_custkey").distinct(),
+                   F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+        )
+
+    def q_budget_window(spark, sf):
+        # P1 shape: per-key budget via row_number (first 3 events per user)
+        from pyspark.sql import Window
+        e = spark.read.parquet(_t(sf, "events"))
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        return (
+            e.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("user_id", "event_id", "rnk")
+            .orderBy("user_id", "rnk")
+        )
+
+    def q_topk_priority(spark, sf):
+        # A1 shape: deterministic global top-K on a priority
+        o = spark.read.parquet(_t(sf, "orders"))
+        return (
+            o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(20)
+        )
+
+    def q_sha_ids(spark, sf):
+        # T5 shape: content-addressed ids (sha2-256; DuckDB lacks sha512)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_id")).orderBy("doc_id")
+
+    def q_whitespace_cleanup(spark, sf):
+        # T2 whitespace-collapse semantics as built-ins
+        d = spark.read.parquet(_t(sf, "documents"))
+        cleaned = F.trim(F.regexp_replace(F.regexp_replace(F.col("text"), r"[\r\n]+", " "), r"[ \t]+", " "))
+        return d.select("doc_id", F.length(cleaned).alias("clean_len"))
+
+    def q_event_window_counts(spark, sf):
+        # processing-time tumbling window analog (streaming §2.7 shape)
+        e = spark.read.parquet(_t(sf, "events"))
+        return (
+            e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("hour", "event_type")
+        )
+
+    def q_group_counts(spark, sf):
+        # metrics-table shape: grouped counters
+        d = spark.read.parquet(_t(sf, "documents"))
+        return d.groupBy("lang", "source").agg(F.count("*").alias("n")).orderBy("lang", "source")
+
+    def q_embedding_dims(spark, sf):
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        return (
+            em.groupBy(F.size("embedding").alias("dim"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("dim")
+        )
+
+    # -- training-data ops ------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return exact_dedup(d).orderBy("content_hash")
+
+    def q_dedup_ngram_jaccard(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return ngram_jaccard_pairs(d, k=3, threshold=0.2).orderBy("id_a", "id_b")
+
+    def q_token_counts(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return d.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("n_tokens"),
+            subword_count_col(F.col("text")).alias("n_subwords"),
+        ).orderBy("doc_id")
+
+    def q_quality(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return d.select("doc_id", quality_score_col(F.col("text")).alias("quality")).orderBy("doc_id")
+
+    def q_lang_id(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return d.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+    def q_fingerprint(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).orderBy("doc_id")
+
+    def q_emb_neardup(spark, sf):
+        # within-label blocking keeps the pair count bounded; deterministic
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        a = em.alias("a")
+        b = em.alias("b")
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+               " CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
+        nrm = lambda s: (f"sqrt(aggregate({s}.embedding, CAST(0.0 AS DOUBLE),"
+                         f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        return (
+            a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cosine", F.round(F.expr(dot) / (F.expr(nrm("a")) * F.expr(nrm("b"))), 4))
+            .filter(F.col("cosine") >= 0.35)
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine")
+            .orderBy("id_a", "id_b")
+        )
+
+    def q_ann_topk(spark, sf):
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return topk_cosine(em, [float(x) for x in qvec], k=10)
+
+    # -- non-SQL-expressible (rows-only checks, by design) ----------------
+    def q_minhash_lsh(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+    def q_simhash(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return simhash64(d).orderBy("doc_id")
+
+    def q_ann_lsh(spark, sf):
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ann_topk_lsh(em, [float(x) for x in qvec], k=10)
+
+    def q_crawl_flagship(spark, sf):
+        return entry(spark).select("seq", "url", "depth", "id", "title")
+
+    return {
+        "lineitem_agg": q_lineitem_agg,
+        "top_orders": q_top_orders,
+        "region_revenue": q_region_revenue,
+        "anti_join_seen": q_anti_join,
+        "budget_window": q_budget_window,
+        "topk_priority": q_topk_priority,
+        "sha_ids": q_sha_ids,
+        "whitespace_cleanup": q_whitespace_cleanup,
+        "event_window_counts": q_event_window_counts,
+        "group_counts": q_group_counts,
+        "embedding_dims": q_embedding_dims,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "emb_neardup": q_emb_neardup,
+        "ann_topk": q_ann_topk,
+        "minhash_lsh_dups": q_minhash_lsh,
+        "simhash64": q_simhash,
+        "ann_topk_lsh": q_ann_lsh,
+        "crawl_flagship": q_crawl_flagship,
+    }
 
 
+# ----------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dot_ab = ("list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+              " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    nrm = lambda s: (f"sqrt(list_sum(list_transform({s}.embedding,"
+                     f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    stop_pat = r"\b(the|a|and|of|to|in|is|it)\b"
+    markers = {
+        "en": r"\b(the|and|is|with)\b",
+        "de": r"\b(der|die|das|und|ist)\b",
+        "fr": r"\b(le|la|les|et|est)\b",
+        "es": r"\b(el|los|las|es|y)\b",
+    }
+    lang_counts = {k: f"len(regexp_extract_all(lower(text), '{v}'))" for k, v in markers.items()}
+    lang_best = f"greatest({lang_counts['en']}, {lang_counts['de']}, {lang_counts['fr']}, {lang_counts['es']})"
+
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, c_name, revenue FROM (
+              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_orderkey) r
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "anti_join_seen": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            ORDER BY c_custkey
+        """,
+        "budget_window": """
+            SELECT user_id, event_id, rnk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rnk
+              FROM events) t
+            WHERE rnk <= 3 ORDER BY user_id, rnk
+        """,
+        "topk_priority": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 20
+        """,
+        "sha_ids": """
+            SELECT doc_id, sha256(text) AS content_id FROM documents ORDER BY doc_id
+        """,
+        "whitespace_cleanup": r"""
+            SELECT doc_id,
+                   length(trim(regexp_replace(regexp_replace(text, '[\r\n]+', ' ', 'g'),
+                                              '[ \t]+', ' ', 'g'))) AS clean_len
+            FROM documents
+        """,
+        "event_window_counts": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "group_counts": """
+            SELECT lang, source, count(*) AS n FROM documents
+            GROUP BY lang, source ORDER BY lang, source
+        """,
+        "embedding_dims": """
+            SELECT len(embedding) AS dim, count(*) AS n FROM embeddings
+            GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i.g:i.g+2], ' ') AS shingle
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 2),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT id_a, id_b,
+                     round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+            WHERE jaccard >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": f"""
+            SELECT doc_id, round((
+              least(length(text) / 500.0, 1.0)
+              + CASE WHEN stop_ratio > 0.6 THEN 0.2 WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.4 END
+              + CASE WHEN punct_ratio > 0.2 THEN 0.3 ELSE 1.0 END) / 3.0, 6) AS quality
+            FROM (
+              SELECT doc_id, text,
+                round(len(regexp_extract_all(lower(text), '{stop_pat}'))
+                  / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+                round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents) ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+              CASE WHEN {lang_best} = 0 THEN 'und'
+                   WHEN {lang_counts['en']} = {lang_best} THEN 'en'
+                   WHEN {lang_counts['de']} = {lang_best} THEN 'de'
+                   WHEN {lang_counts['fr']} = {lang_best} THEN 'fr'
+                   WHEN {lang_counts['es']} = {lang_best} THEN 'es'
+              END AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "emb_neardup": f"""
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({dot_ab} / ({nrm('a')} * {nrm('b')}), 4) AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE cosine >= 0.35 ORDER BY id_a, id_b
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_sum(list_transform(list_zip(embedding, qe),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # minhash_lsh_dups / simhash64 / ann_topk_lsh / crawl_flagship:
+        # intentionally no oracle (probabilistic or engine-native) —
+        # driver records the weaker rows-only check.
+    }

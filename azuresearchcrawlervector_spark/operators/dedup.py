@@ -38,10 +38,13 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document — pure built-ins
     (split → sequence → transform → explode), JVM-side end to end."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # NB: Spark's sequence(1, n) with n < 1 produces a DESCENDING sequence,
+    # so short texts must be short-circuited to an empty array explicitly.
+    toks = f"split(lower({text_col}), '\\\\s+')"
     shingle_arr = F.expr(
-        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {k})))"
+        f"CASE WHEN size({toks}) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
     )
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle"))

@@ -39,6 +39,7 @@ class Manifest:
     deltas: dict[str, list[str]] = field(default_factory=dict)
     pages_fetched: int = 0      # budget counter (A1 maxPages accounting)
     docs_emitted: int = 0       # successful pages → visit-order seq base
+    pending_count: int = -1     # rows in pending_path (-1 = unknown)
     finished: bool = False
     config_fingerprint: str = ""
 

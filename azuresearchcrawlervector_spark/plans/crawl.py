@@ -154,8 +154,13 @@ class CrawlEngine:
         if m is None:
             pending = self._seed_pending()
             path = self.store.write_pending(pending, 0)
-            m = Manifest(iter=0, pending_path=path, deltas={}, pages_fetched=0)
+            n = self.spark.read.parquet(path).count()
+            m = Manifest(iter=0, pending_path=path, deltas={},
+                         pages_fetched=0, pending_count=n)
             self.store.commit(m)
+        if m.pending_count < 0:  # manifest from an older engine build
+            p = self.store.read_pending(self.spark, m)
+            m.pending_count = p.count() if p is not None else 0
         if m.finished:
             return CrawlResult(self.store, m)
 
@@ -170,59 +175,102 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ wave
     def _wave(self, m: Manifest) -> Manifest:
+        """One frontier wave. Job budget per wave (the fixed overhead that
+        must stay small relative to row work): 1 stats collect,
+        1 extraction materialization, 4 PARALLEL table writes, 1 footer
+        count, 1 metrics write. Everything else is plan construction."""
+        from concurrent.futures import ThreadPoolExecutor
+
         spark, cfg, i = self.spark, self.cfg, m.iter + 1
         t0 = time.monotonic()
         remaining = cfg.max_pages - m.pages_fetched
-        pending = self.store.read_pending(spark, m)
-        if remaining <= 0 or pending is None or pending.isEmpty():
+        if remaining <= 0 or m.pending_count == 0:
             m.finished = True
             self.store.commit(m)
             return m
+        pending = self.store.read_pending(spark, m)
+        pending_n = m.pending_count
 
-        # defensive within-frontier dedup: keep first-discovered row per URL
         w_url = Window.partitionBy("url_hash").orderBy(F.col("priority").asc())
-        cand = (
-            pending.withColumn("_rn", F.row_number().over(w_url))
-            .filter(F.col("_rn") == 1).drop("_rn")
-        )
+        if cfg.mode == CrawlMode.HEADLESS:
+            # DFS keeps duplicate URLs in pending (min-priority merge
+            # semantics) — dedup to the first-discovered row per URL here
+            cand = (
+                pending.withColumn("_rn", F.row_number().over(w_url))
+                .filter(F.col("_rn") == 1).drop("_rn")
+            )
+        else:
+            # BFS/sitemap invariant: pending is exact-deduped at append
+            # time (children dedup + anti-joins) — no per-wave re-dedup
+            cand = pending
 
         # P1 politeness (standard mode): per-host budget BEFORE salting
+        to_unpersist = []
         if cfg.politeness and cfg.mode == CrawlMode.STANDARD:
-            tagged = apply_politeness(cand, self.robots, cfg.iter_window_ms)
-            budget_due = tagged.filter(F.col("due")).drop("due", "host_rank", "host_budget", "crawl_delay_ms")
-            budget_carry = tagged.filter(~F.col("due")).drop("due", "host_rank", "host_budget", "crawl_delay_ms")
+            tagged = apply_politeness(cand, self.robots, cfg.iter_window_ms).persist()
+            to_unpersist.append(tagged)
+            drop_cols = ("due", "host_rank", "host_budget", "crawl_delay_ms")
+            budget_due = tagged.filter(F.col("due")).drop(*drop_cols)
+            budget_carry = tagged.filter(~F.col("due")).drop(*drop_cols)
         else:
             budget_due, budget_carry = cand, cand.limit(0)
 
-        # A1 global maxPages cap — deterministic top-K on priority
-        cap = 1 if cfg.mode == CrawlMode.HEADLESS else remaining
-        due = budget_due.orderBy("priority").limit(cap).persist()
-        due_n = due.count()
-        if due_n == 0:
-            m.finished = True
-            self.store.commit(m)
-            due.unpersist()
-            return m
-        overflow = budget_due.join(due.select("url_hash"), "url_hash", "left_anti")
-        carried = budget_carry.unionByName(overflow)
+        # A1 global maxPages cap — deterministic top-K on priority. The
+        # sort is SKIPPED when the budget cannot bind (remaining >= what
+        # is even in the frontier) — no global sort in steady-state BFS.
+        if cfg.mode == CrawlMode.HEADLESS:
+            due, capped = budget_due.orderBy("priority").limit(1), True
+        elif remaining < pending_n:
+            due, capped = budget_due.orderBy("priority").limit(remaining), True
+        else:
+            due, capped = budget_due, False
 
         # P2 salted repartition for the fetch stage (hot-host skew)
-        due_salted = salted_repartition(due, cfg.salt_partitions)
+        due = salted_repartition(due, cfg.salt_partitions).persist()
+        to_unpersist.append(due)
 
         # J5 fetch = equi-join against the pages table; left join keeps
         # dead links as failed fetches (F3 side-output semantics)
-        fetch = due_salted.join(
+        fetch = due.join(
             self.pages.select("url", "status", "html", "image_id"),
             on="url", how="left",
         ).withColumn("fetch_ok", (F.col("status") == 200) & F.col("html").isNotNull())
         fetch = fetch.persist()
+        to_unpersist.append(fetch)
+
+        # ONE action yields due_n, ok_n AND the per-partition lineage rows
+        part_rows = (
+            fetch.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.sum(F.col("fetch_ok").cast("long")).alias("fetched"),
+                F.sum((~F.col("fetch_ok")).cast("long")).alias("failed"),
+            ).collect()
+        )
+        ok_n = int(sum(r["fetched"] or 0 for r in part_rows))
+        due_n = int(ok_n + sum(r["failed"] or 0 for r in part_rows))
+        if due_n == 0:
+            m.finished = True
+            self.store.commit(m)
+            for df in to_unpersist:
+                df.unpersist()
+            return m
+
+        if capped:
+            overflow = budget_due.join(due.select("url_hash"), "url_hash", "left_anti")
+            carried = budget_carry.unionByName(overflow)
+        else:
+            carried = budget_carry
+
         ok = fetch.filter(F.col("fetch_ok"))
-        ok_n = ok.count()
 
-        # T1/T2 extraction — ONE parse per page (UDF), selector scoping F5/F6
+        # T1/T2 extraction — ONE parse per page (UDF), selector scoping
+        # F5/F6; materialized now so the four table writes below can run
+        # concurrently off the cache
         extracted = with_extraction(ok, "html", cfg.dom_selector).persist()
+        to_unpersist.append(extracted)
+        extracted.count()
 
-        # visit order (oracle contract): seq = fetched_so_far + rank(priority).
+        # visit order (oracle contract): seq = emitted_so_far + rank(priority).
         # Global window = fine at oracle scale; disabled for bench runs
         # (track_order=False) where a global total order is the bottleneck.
         if self.track_order:
@@ -243,7 +291,11 @@ class CrawlEngine:
             .withColumn("content_vector", self._embed(F.substring("content", 1, 8000)))
         )
         if self.validate_images:
-            docs = docs.join(F.broadcast(self.images), on="image_id", how="left")
+            # no broadcast hint: fixture-scale images auto-broadcast under
+            # the threshold; at bench/cluster scale AQE picks shuffle-hash
+            # (possibly skew-split) — forcing broadcast of a 10^10-row
+            # payload table would be wrong
+            docs = docs.join(self.images, on="image_id", how="left")
             docs = with_image_validation(docs)
             docs = docs.withColumn(
                 "caption_ok",
@@ -314,7 +366,7 @@ class CrawlEngine:
         sketch = None
         # the sketch pays off once the seen table is big enough that the
         # exact join's shuffle dominates; below that, plain left_anti wins
-        if seen_prev is not None and m.pages_fetched >= 5000:
+        if seen_prev is not None and m.pages_fetched >= 100_000:
             sketch = merged_sketch(
                 seen_prev, "url_hash",
                 BloomFilter.sized_for(
@@ -340,65 +392,63 @@ class CrawlEngine:
             )
             pending_next = carried.unionByName(new_pending)
 
-        # ---- commit: data files first, manifest last ----
-        seen_paths = list(m.deltas.get("seen", []))
-        doc_paths = list(m.deltas.get("documents", []))
-        met_paths = list(m.deltas.get("metrics", []))
-        log_paths = list(m.deltas.get("frontier_log", []))
-
-        seen_paths.append(self.store.write_delta(seen_delta, "seen", i))
-        doc_paths.append(self.store.write_delta(docs_out, "documents", i))
-        log_paths.append(self.store.write_delta(
+        # ---- commit: data files first (4 CONCURRENT writes), manifest last
+        frontier_log = (
             fetch.select(
                 "url", "url_hash", "host", "depth", "priority", "parent_url",
                 "link_pos", "fetch_ok",
             ).withColumn("iter", F.lit(i)).withColumn(
                 "state", F.when(F.col("fetch_ok"), "fetched").otherwise("failed")
-            ).drop("fetch_ok"), "frontier_log", i))
-        pending_path = self.store.write_pending(pending_next, i)
-
-        # metrics: per-partition fetch/failure rows + a global (-1) row;
-        # counts come from the WRITTEN pending file (no plan re-execution)
-        pending_written = spark.read.parquet(pending_path)
-        new_links_n = pending_written.filter(F.col("iter_added") == i).count()
-        part_stats = (
-            fetch.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.sum(F.col("fetch_ok").cast("long")).alias("fetched"),
-                F.sum((~F.col("fetch_ok")).cast("long")).alias("failed"),
-            )
-            .withColumn("iter", F.lit(i))
-            .withColumn("urls_in", F.lit(None).cast("long"))
-            .withColumn("deduped", F.lit(None).cast("long"))
-            .withColumn("new_links", F.lit(None).cast("long"))
-            .withColumn("wall_ms", F.lit(None).cast("double"))
+            ).drop("fetch_ok")
         )
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_seen = pool.submit(self.store.write_delta, seen_delta, "seen", i)
+            f_docs = pool.submit(self.store.write_delta, docs_out, "documents", i)
+            f_log = pool.submit(self.store.write_delta, frontier_log, "frontier_log", i)
+            f_pend = pool.submit(self.store.write_pending, pending_next, i)
+            seen_path, doc_path = f_seen.result(), f_docs.result()
+            log_path, pending_path = f_log.result(), f_pend.result()
+
+        # footer-only count of the written pending file (no recompute)
+        pending_next_n = spark.read.parquet(pending_path).count()
+        carried_n = pending_n - due_n
+        if cfg.mode == CrawlMode.HEADLESS:
+            new_links_n = spark.read.parquet(pending_path).filter(
+                F.col("iter_added") == i).count()
+        else:
+            new_links_n = pending_next_n - carried_n
+
+        # metrics: per-partition fetch lineage rows + a global (-1) row
         wall_ms = (time.monotonic() - t0) * 1000.0
-        global_row = spark.createDataFrame(
-            [(i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms)],
-            "iter int, partition_id int, urls_in long, deduped long, "
-            "fetched long, failed long, new_links long, wall_ms double",
-        )
-        metrics = part_stats.select(
-            "iter", "partition_id", "urls_in", "deduped", "fetched",
-            "failed", "new_links", "wall_ms",
-        ).unionByName(global_row)
-        met_paths.append(self.store.write_delta(metrics, "metrics", i))
+        met_schema = ("iter int, partition_id int, urls_in long, deduped long, "
+                      "fetched long, failed long, new_links long, wall_ms double")
+        met_rows = [
+            (i, int(r["partition_id"]), None, None, int(r["fetched"] or 0),
+             int(r["failed"] or 0), None, None)
+            for r in part_rows
+        ] + [(i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms)]
+        met_path = self.store.write_delta(
+            spark.createDataFrame(met_rows, met_schema), "metrics", i)
 
+        deltas = {
+            "seen": list(m.deltas.get("seen", [])) + [seen_path],
+            "documents": list(m.deltas.get("documents", [])) + [doc_path],
+            "metrics": list(m.deltas.get("metrics", [])) + [met_path],
+            "frontier_log": list(m.deltas.get("frontier_log", [])) + [log_path],
+        }
         fetched_count = due_n if cfg.seen_on_effective == SeenOn.SCHEDULE else ok_n
         m2 = Manifest(
             iter=i,
             pending_path=pending_path,
-            deltas={"seen": seen_paths, "documents": doc_paths,
-                    "metrics": met_paths, "frontier_log": log_paths},
+            deltas=deltas,
             pages_fetched=m.pages_fetched + fetched_count,
             docs_emitted=m.docs_emitted + ok_n,
+            pending_count=pending_next_n,
             finished=False,
         )
         self.store.commit(m2)
-        due.unpersist()
-        fetch.unpersist()
-        extracted.unpersist()
+        for df in to_unpersist:
+            df.unpersist()
         return m2
 
 

@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Two parts:
+1. crawl bench (the BASELINE.json metric): BFS-crawl a deterministically
+   seeded Zipf-host synthetic web (the scaled-down 10^10-frontier shape)
+   with the full pipeline — dedup, politeness budgets, salted fetch-join,
+   extraction UDF, pseudo-embeddings, image decode+PSNR validation —
+   reporting frontier URLs/sec and fetched image rows/sec.
+2. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_URLS           synthetic web size (default 120_000)
+  BENCH_HOSTS          host count (default 100)
+  BENCH_SKIP_CRAWL     "1" to skip part 1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def time_query(fn, *args):
+    t0 = time.monotonic()
+    df = fn(*args)
+    n = df.count()
+    return time.monotonic() - t0, n
+
+
+def crawl_bench(spark, n_urls: int, n_hosts: int) -> dict:
+    from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
+    from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
+    from azuresearchcrawlervector_spark.sources.synthetic import (
+        bench_images_df, bench_pages_df, robots_df,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        # --- datagen (not part of the measured crawl) ---
+        t0 = time.monotonic()
+        pages = bench_pages_df(spark, n_urls, n_hosts)
+        pages.write.mode("overwrite").parquet(f"{work}/pages.parquet")
+        pages_r = spark.read.parquet(f"{work}/pages.parquet")
+        bench_images_df(spark, pages_r).write.mode("overwrite").parquet(f"{work}/images.parquet")
+        datagen_s = time.monotonic() - t0
+
+        images_r = spark.read.parquet(f"{work}/images.parquet")
+        robots = robots_df(spark, [f"host{i}.bench.example.com" for i in range(n_hosts)],
+                           crawl_delay_ms=100)
+        cfg = CrawlConfig(
+            root_url="http://host0.bench.example.com/",
+            mode=CrawlMode.STANDARD,
+            max_pages=n_urls,
+            max_depth=64,
+            iter_window_ms=600_000,  # politeness exercised, not binding
+            salt_partitions=16,
+        )
+        seeds = [f"http://host{i}.bench.example.com/" for i in range(n_hosts)]
+        t0 = time.monotonic()
+        eng = CrawlEngine(
+            spark, pages_r, cfg, f"{work}/ckpt", images=images_r, robots=robots,
+            seeds=seeds, track_order=False, validate_images=True,
+        )
+        res = eng.run()
+        crawl_s = time.monotonic() - t0
+        m = res.manifest
+        docs = res.documents(spark)
+        img_ok = docs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("img_ok").cast("long")).alias("ok"),
+        ).collect()[0]
+        return {
+            "datagen_sec": round(datagen_s, 2),
+            "crawl_sec": round(crawl_s, 2),
+            "iterations": m.iter,
+            "frontier_urls": m.pages_fetched,
+            "image_rows": img_ok["n"],
+            "image_rows_ok": int(img_ok["ok"] or 0),
+            "urls_per_sec": round(m.pages_fetched / crawl_s, 1),
+            "image_rows_per_sec": round(img_ok["n"] / crawl_s, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from azuresearchcrawlervector_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_urls = int(os.environ.get("BENCH_URLS", "120000"))
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "100"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    headline = [
+        "lineitem_agg", "top_orders", "region_revenue", "budget_window",
+        "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
+        "simhash64", "emb_neardup", "ann_topk",
+    ]
+    for name in headline:
+        sec, _n = time_query(qs[name], spark, sf_dir)
+        qtimes[name] = round(sec, 3)
+
+    crawl = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        crawl = crawl_bench(spark, n_urls, n_hosts)
+        qtimes["crawl_pipeline"] = crawl["crawl_sec"]
+
+    total = round(sum(qtimes.values()), 3)
+    sf = float(sf_dir.rstrip("/").rpartition("sf")[2] or 0.1)
+    out = {
+        "metric": "frontier URLs/sec + fetched image rows/sec (crawl) and headline query secs",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
