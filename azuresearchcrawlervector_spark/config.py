@@ -49,6 +49,9 @@ class CrawlConfig:
     salt_partitions: int = 8  # P2 hot-host salting factor
     embedding_dim: int = 128
     bloom_bits_per_key: int = 16  # ~0.04% FP before exact confirm join
+    # P4: reference drops failed pages without retry
+    # (AzureSearchIndexer.cs:214-218) — 0 keeps that faithful behavior
+    retry_max_attempts: int = 0
 
     @property
     def seen_on_effective(self) -> SeenOn:

@@ -53,6 +53,18 @@ def apply_politeness(
     )
 
 
+def rate_limit_budget(df: DataFrame, max_per_window: int,
+                      priority_col: str = "priority") -> DataFrame:
+    """P3: the reference's GLOBAL RateLimiter (≥4 s between embedding
+    calls, RateLimiter.cs:17-35) as a budget operator — identical to the
+    per-host budget with a single pseudo-host: keep the max_per_window
+    lowest-priority rows per window, tag the rest as carry-over."""
+    w = Window.orderBy(F.col(priority_col).asc())
+    return df.withColumn("global_rank", F.row_number().over(w)).withColumn(
+        "due", F.col("global_rank") <= max_per_window
+    )
+
+
 def salted_repartition(df: DataFrame, salt_partitions: int, n_partitions: int | None = None) -> DataFrame:
     """P2: spread a hot host over ``salt_partitions`` tasks while keeping
     host locality for cold hosts: partition by (host, pmod(url_hash, S))."""

@@ -40,6 +40,10 @@ class Manifest:
     pages_fetched: int = 0      # budget counter (A1 maxPages accounting)
     docs_emitted: int = 0       # successful pages → visit-order seq base
     pending_count: int = -1     # rows in pending_path (-1 = unknown)
+    # this wave's metrics rows (tiny per-partition counters) ride in the
+    # manifest commit itself — no extra write job per wave; the metrics
+    # TABLE is materialized on demand from the manifest history
+    metrics_rows: list = field(default_factory=list)
     finished: bool = False
     config_fingerprint: str = ""
 
@@ -64,6 +68,15 @@ class SnapshotStore:
             return None
         with open(os.path.join(mdir, versions[-1])) as fh:
             return Manifest.from_json(fh.read())
+
+    def all_manifests(self) -> list["Manifest"]:
+        mdir = os.path.join(self.root, "manifest")
+        out = []
+        for f in sorted(os.listdir(mdir)):
+            if f.startswith("v"):
+                with open(os.path.join(mdir, f)) as fh:
+                    out.append(Manifest.from_json(fh.read()))
+        return out
 
     def manifest_at(self, iteration: int) -> Manifest | None:
         path = os.path.join(self.root, "manifest", f"v{iteration:05d}.json")

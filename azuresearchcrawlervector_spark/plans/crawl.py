@@ -70,24 +70,46 @@ PENDING_SCHEMA = StructType([
     StructField("parent_url", StringType(), True),
     StructField("link_pos", IntegerType(), True),
     StructField("iter_added", IntegerType(), False),
+    StructField("attempts", IntegerType(), False),  # P4 retry counter
 ])
 
 SEEN_SCHEMA = "url_hash long, url string, iter int"
+
+
+METRICS_SCHEMA = ("iter int, partition_id int, urls_in long, deduped long, "
+                  "fetched long, failed long, new_links long, wall_ms double")
+
+
+def seen_from_log(log: DataFrame | None, seen_on: SeenOn) -> DataFrame | None:
+    """The seen table is a PROJECTION of the frontier log (one write
+    instead of two per wave): SCHEDULE mode = every attempted URL,
+    SUCCESS mode = successfully fetched only."""
+    if log is None:
+        return None
+    rows = log if seen_on == SeenOn.SCHEDULE else log.filter(F.col("state") == "fetched")
+    return rows.select("url_hash", "url", "iter")
 
 
 @dataclass
 class CrawlResult:
     store: SnapshotStore
     manifest: Manifest
+    seen_on: SeenOn = SeenOn.SCHEDULE
 
     def documents(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_table(spark, self.manifest, "documents")
 
     def seen(self, spark: SparkSession) -> DataFrame | None:
-        return self.store.read_table(spark, self.manifest, "seen")
+        return seen_from_log(self.frontier_log(spark), self.seen_on)
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:
-        return self.store.read_table(spark, self.manifest, "metrics")
+        rows = []
+        for mf in self.store.all_manifests():
+            if mf.iter <= self.manifest.iter:
+                rows.extend(tuple(r) for r in mf.metrics_rows)
+        if not rows:
+            return None
+        return spark.createDataFrame(rows, METRICS_SCHEMA)
 
     def frontier_log(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_table(spark, self.manifest, "frontier_log")
@@ -144,7 +166,7 @@ class CrawlEngine:
             if u is None:  # F7 malformed-seed guard (CrawlerMain.cs:271-275)
                 continue
             rows.append((u, url_hash(u), host_of(u), host_of(u), 0,
-                         f"{i:05d}", "", None, None, 0))
+                         f"{i:05d}", "", None, None, 0, 0))
         df = self.spark.createDataFrame(rows, PENDING_SCHEMA)
         return df.withColumn("priority", _priority_expr(self.cfg.mode))
 
@@ -162,7 +184,7 @@ class CrawlEngine:
             p = self.store.read_pending(self.spark, m)
             m.pending_count = p.count() if p is not None else 0
         if m.finished:
-            return CrawlResult(self.store, m)
+            return CrawlResult(self.store, m, self.cfg.seen_on_effective)
 
         wall_guard = time.monotonic() + self.cfg.max_pages * 10  # P5 analog
         while m.iter < self.max_iters and time.monotonic() < wall_guard:
@@ -171,7 +193,7 @@ class CrawlEngine:
                 break
         # NOTE: stopping on max_iters / wall-clock leaves finished=False —
         # exactly the state a kill leaves, so run(resume=True) continues.
-        return CrawlResult(self.store, m)
+        return CrawlResult(self.store, m, self.cfg.seen_on_effective)
 
     # ------------------------------------------------------------------ wave
     def _wave(self, m: Manifest) -> Manifest:
@@ -179,8 +201,6 @@ class CrawlEngine:
         must stay small relative to row work): 1 stats collect,
         1 extraction materialization, 4 PARALLEL table writes, 1 footer
         count, 1 metrics write. Everything else is plan construction."""
-        from concurrent.futures import ThreadPoolExecutor
-
         spark, cfg, i = self.spark, self.cfg, m.iter + 1
         t0 = time.monotonic()
         remaining = cfg.max_pages - m.pages_fetched
@@ -345,6 +365,7 @@ class CrawlEngine:
             .withColumn("priority", _priority_expr(cfg.mode))
             .withColumn("url_hash", url_hash_col("url"))
             .withColumn("iter_added", F.lit(i))
+            .withColumn("attempts", F.lit(0))
             .select(*[f.name for f in PENDING_SCHEMA.fields])
         )
         # within-wave first-discovery dedup
@@ -362,7 +383,10 @@ class CrawlEngine:
             seen_delta = fetch.select("url_hash", "url").withColumn("iter", F.lit(i))
 
         # exact anti-join against (seen ∪ this wave ∪ carried), Bloom-assisted
-        seen_prev = self.store.read_table(spark, m, "seen")
+        seen_prev = seen_from_log(
+            self.store.read_table(spark, m, "frontier_log"),
+            cfg.seen_on_effective,
+        )
         sketch = None
         # the sketch pays off once the seen table is big enough that the
         # exact join's shuffle dominates; below that, plain left_anti wins
@@ -392,6 +416,21 @@ class CrawlEngine:
             )
             pending_next = carried.unionByName(new_pending)
 
+        # P4 retry policy: the reference DROPS a page on failure/backoff
+        # (AzureSearchIndexer.cs:214-218, no retry) — that is
+        # retry_max_attempts=0, the faithful default. With retries on,
+        # failed fetches re-enter pending (same priority = next-wave
+        # backoff) until the attempt budget is spent.
+        if cfg.retry_max_attempts > 0:
+            retries = (
+                fetch.filter(~F.col("fetch_ok"))
+                .filter(F.col("attempts") < cfg.retry_max_attempts)
+                .withColumn("attempts", F.col("attempts") + 1)
+                .withColumn("iter_added", F.lit(i))
+                .select(*[f.name for f in PENDING_SCHEMA.fields])
+            )
+            pending_next = pending_next.unionByName(retries)
+
         # ---- commit: data files first (4 CONCURRENT writes), manifest last
         frontier_log = (
             fetch.select(
@@ -401,13 +440,11 @@ class CrawlEngine:
                 "state", F.when(F.col("fetch_ok"), "fetched").otherwise("failed")
             ).drop("fetch_ok")
         )
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_seen = pool.submit(self.store.write_delta, seen_delta, "seen", i)
-            f_docs = pool.submit(self.store.write_delta, docs_out, "documents", i)
-            f_log = pool.submit(self.store.write_delta, frontier_log, "frontier_log", i)
-            f_pend = pool.submit(self.store.write_pending, pending_next, i)
-            seen_path, doc_path = f_seen.result(), f_docs.result()
-            log_path, pending_path = f_log.result(), f_pend.result()
+        # three writes per wave: frontier_log (lineage + seen projection),
+        # documents, pending'. Metrics ride in the manifest commit.
+        log_path = self.store.write_delta(frontier_log, "frontier_log", i)
+        doc_path = self.store.write_delta(docs_out, "documents", i)
+        pending_path = self.store.write_pending(pending_next, i)
 
         # footer-only count of the written pending file (no recompute)
         pending_next_n = spark.read.parquet(pending_path).count()
@@ -418,22 +455,17 @@ class CrawlEngine:
         else:
             new_links_n = pending_next_n - carried_n
 
-        # metrics: per-partition fetch lineage rows + a global (-1) row
+        # metrics: per-partition fetch lineage rows + a global (-1) row,
+        # committed inside the manifest (no extra write job)
         wall_ms = (time.monotonic() - t0) * 1000.0
-        met_schema = ("iter int, partition_id int, urls_in long, deduped long, "
-                      "fetched long, failed long, new_links long, wall_ms double")
         met_rows = [
-            (i, int(r["partition_id"]), None, None, int(r["fetched"] or 0),
-             int(r["failed"] or 0), None, None)
+            [i, int(r["partition_id"]), None, None, int(r["fetched"] or 0),
+             int(r["failed"] or 0), None, None]
             for r in part_rows
-        ] + [(i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms)]
-        met_path = self.store.write_delta(
-            spark.createDataFrame(met_rows, met_schema), "metrics", i)
+        ] + [[i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms]]
 
         deltas = {
-            "seen": list(m.deltas.get("seen", [])) + [seen_path],
             "documents": list(m.deltas.get("documents", [])) + [doc_path],
-            "metrics": list(m.deltas.get("metrics", [])) + [met_path],
             "frontier_log": list(m.deltas.get("frontier_log", [])) + [log_path],
         }
         fetched_count = due_n if cfg.seen_on_effective == SeenOn.SCHEDULE else ok_n
@@ -444,6 +476,7 @@ class CrawlEngine:
             pages_fetched=m.pages_fetched + fetched_count,
             docs_emitted=m.docs_emitted + ok_n,
             pending_count=pending_next_n,
+            metrics_rows=met_rows,
             finished=False,
         )
         self.store.commit(m2)
@@ -482,7 +515,7 @@ def run_sitemap_crawl(
             continue  # F2 same-host filter (SitemapCrawler.cs:159-163)
         seen_urls.add(u)
         rows.append((u, url_hash(u), host_of(u), root_host, 0,
-                     f"{pos:09d}", f"{pos:09d}", None, pos, 0))
+                     f"{pos:09d}", f"{pos:09d}", None, pos, 0, 0))
     seed = spark.createDataFrame(rows, PENDING_SCHEMA)
     sm_cfg = CrawlConfig(
         root_url=cfg.root_url, mode=CrawlMode.SITEMAP, max_pages=cfg.max_pages,
@@ -495,3 +528,35 @@ def run_sitemap_crawl(
         seed_pending=seed, **engine_kw,
     )
     return engine.run()
+
+
+def run_sites(
+    spark: SparkSession,
+    pages: DataFrame,
+    sites_json: str,
+    checkpoint_root: str,
+    mode: CrawlMode = CrawlMode.STANDARD,
+    max_pages: int = 100,
+    images: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    **engine_kw,
+) -> list[CrawlResult]:
+    """S2 sites-file source (CrawlerMain.cs:246-287): one crawl per site
+    entry, sequentially, each with its own maxDepth/domSelector and its
+    own checkpoint dir; invalid URIs skipped with a warning (F7)."""
+    from ..config import parse_sites_json
+
+    results: list[CrawlResult] = []
+    for idx, site in enumerate(parse_sites_json(sites_json)):
+        if canonicalize(None, site.uri) is None:
+            continue  # CrawlerMain.cs:271-275 — skip invalid, keep going
+        cfg = CrawlConfig(
+            root_url=site.uri, mode=mode, max_pages=max_pages,
+            max_depth=site.max_depth, dom_selector=site.dom_selector,
+        )
+        engine = CrawlEngine(
+            spark, pages, cfg, f"{checkpoint_root}/site_{idx:03d}",
+            images=images, robots=robots, **engine_kw,
+        )
+        results.append(engine.run())
+    return results

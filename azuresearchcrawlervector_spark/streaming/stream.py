@@ -1,0 +1,112 @@
+"""Streaming page processing: the reference's queue-and-batch tail
+(AzureSearchIndexer.cs:245-285 — BlockingCollection drained in batches of
+10 under a semaphore) re-expressed as Structured Streaming.
+
+readStream(file source over fetched-page parquet) → watermarked
+dropDuplicates on url (the streaming analog of the seen anti-join for
+late/replayed pages) → extraction + embedding (same UDF kernels as the
+batch engine) → foreachBatch idempotent append (id = sha2(url,512) makes
+replays safe — the MergeOrUpload semantics of S8, AzureSearchIndexer.cs:273,
+become append + dedupe-on-read on a content-addressed key).
+
+The batch engine remains the primary path (the crawl loop is
+batch-iterative by design, SURVEY.md §1.2); this module exists for
+continuous-ingest deployments where fetched pages arrive as files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..functions.embeddings import make_embed_udf
+from ..functions.html import with_extraction
+from ..functions.urls import doc_id_col
+
+FETCHED_PAGE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("status", IntegerType(), True),
+    StructField("html", StringType(), True),
+    StructField("image_id", StringType(), True),
+    StructField("fetch_ts", TimestampType(), True),
+])
+
+
+def build_pipeline(
+    stream_df: DataFrame,
+    dom_selector: str | None = None,
+    embedding_dim: int = 128,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """fetched pages (stream) → documents (stream)."""
+    embed = make_embed_udf(embedding_dim)
+    deduped = (
+        stream_df
+        .withWatermark("fetch_ts", watermark)
+        .dropDuplicates(["url"])                     # streaming seen-set
+        .filter(F.col("status") == 200)              # F3
+    )
+    extracted = with_extraction(deduped, "html", dom_selector)
+    return (
+        extracted
+        .filter(F.length("content") > 0)             # F4
+        .withColumn("id", doc_id_col("url"))
+        .withColumn("title_vector", embed(F.substring("title", 1, 8000)))
+        .withColumn("content_vector", embed(F.substring("content", 1, 8000)))
+        .select("id", "url", "title", "content", "title_vector", "content_vector")
+    )
+
+
+def run_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    dom_selector: str | None = None,
+    embedding_dim: int = 128,
+    available_now: bool = True,
+):
+    """File-source streaming job; availableNow processes the backlog in
+    micro-batches then stops (the test/CI mode). The foreachBatch sink
+    appends parquet — idempotent under replay because ids are
+    content-addressed and readers dedupe on id."""
+    stream = (
+        spark.readStream.schema(FETCHED_PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    docs = build_pipeline(stream, dom_selector, embedding_dim)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    writer = (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def read_documents_deduped(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Dedupe-on-read by content-addressed id (S8 MergeOrUpload analog):
+    latest batch wins."""
+    if not os.path.exists(output_dir):
+        return spark.createDataFrame(
+            [], "id string, url string, title string, content string, batch_id long")
+    df = spark.read.parquet(output_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )

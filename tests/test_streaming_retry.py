@@ -1,0 +1,87 @@
+"""Structured Streaming page processing, P3 rate limiter, P4 retry,
+S2 sites-file multi-crawl."""
+
+import datetime
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode, parse_sites_json
+from azuresearchcrawlervector_spark.operators.politeness import rate_limit_budget
+from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine, run_sites
+from azuresearchcrawlervector_spark.sources.fixtures import (
+    broken_links_site,
+    test_website as website1_graph,
+    test_website2 as website2_graph,
+)
+from azuresearchcrawlervector_spark.sources.synthetic import pages_df
+from azuresearchcrawlervector_spark.streaming.stream import (
+    read_documents_deduped, run_file_stream,
+)
+
+
+def test_streaming_pipeline_availablenow(spark, tmp_path):
+    g = website1_graph()
+    rows = pages_df(spark, g).select(
+        "url", "status", "html", "image_id",
+        F.lit(datetime.datetime(2026, 1, 1)).alias("fetch_ts"),
+    )
+    inp = str(tmp_path / "in")
+    rows.limit(10).write.parquet(inp)
+    # a replayed duplicate batch — dropDuplicates + content-addressed ids
+    # must keep the output idempotent
+    rows.limit(4).write.mode("append").parquet(inp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_file_stream(spark, inp, out, ckpt)
+    docs = read_documents_deduped(spark, out)
+    got = docs.collect()
+    urls = sorted(r["url"] for r in got)
+    assert len(urls) == len(set(urls))  # no dup ids after replay
+    for r in got:
+        assert r["id"] == hashlib.sha512(r["url"].encode()).hexdigest()
+        assert len(r["title_vector"]) == 128
+        assert r["title"]
+
+
+def test_rate_limit_budget(spark):
+    df = spark.createDataFrame([(f"u{i}", f"{i:04d}") for i in range(20)],
+                               "url string, priority string")
+    out = rate_limit_budget(df, max_per_window=5)
+    due = sorted(r["priority"] for r in out.filter("due").collect())
+    assert due == [f"{i:04d}" for i in range(5)]  # earliest 5 pass
+    assert out.filter("not due").count() == 15
+
+
+def test_retry_policy(spark, tmp_ckpt):
+    # broken site: /gone.html is 404; with retries on it is re-attempted
+    # retry_max_attempts times and then dropped
+    g = broken_links_site()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD,
+                      retry_max_attempts=2)
+    eng = CrawlEngine(spark, pages_df(spark, g), cfg, tmp_ckpt,
+                      validate_images=False)
+    res = eng.run()
+    log = res.frontier_log(spark)
+    gone_attempts = log.filter(
+        F.col("url") == "http://broken.example.com/gone.html").count()
+    assert gone_attempts == 3  # initial + 2 retries
+    assert res.manifest.finished
+
+
+def test_sites_file_multi_crawl(spark, tmp_path):
+    g1, g2 = website1_graph(), website2_graph()
+    pages = pages_df(spark, g1).unionByName(pages_df(spark, g2))
+    sites = json.dumps([
+        {"uri": g1.root, "maxDepth": 1},
+        {"uri": "not a uri", "maxDepth": 2},      # skipped like the reference
+        {"uri": g2.root, "maxDepth": 10, "domSelector": g2.selector},
+    ])
+    assert len(parse_sites_json(sites)) == 3
+    results = run_sites(spark, pages, sites, str(tmp_path / "sites"),
+                        validate_images=False)
+    assert len(results) == 2  # invalid URI row skipped
+    d1 = results[0].documents(spark)
+    assert d1.agg(F.max("depth")).collect()[0][0] == 1  # per-site maxDepth
+    d2_urls = {r["url"] for r in results[1].documents(spark).collect()}
+    assert any("/cases/" in u for u in d2_urls)  # selector-scoped crawl ran

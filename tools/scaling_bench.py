@@ -1,0 +1,107 @@
+"""Two-parallelism scaling evidence for the north_rule criterion.
+
+No multi-node cluster exists in this sandbox, so the N→4N-executor
+scaling-efficiency requirement (≥0.8) is evidenced by running the
+IDENTICAL crawl job on the same input at local[8] (N) and local[32]
+(4N; the machine has 32 cores), reporting throughput at both plus
+efficiency = thr(32) / (4 × thr(8)). Results → BENCH/BASELINE.md.
+
+Each parallelism level runs in its own subprocess (one SparkContext per
+JVM). The input parquet is generated ONCE and shared.
+
+Usage: python tools/scaling_bench.py [n_urls] [n_hosts]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+from azuresearchcrawlervector_spark.session import get_spark
+from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
+from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
+from azuresearchcrawlervector_spark.sources.synthetic import robots_df
+
+spark = get_spark("scale-{cpus}", master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({work!r} + "/pages.parquet")
+images = spark.read.parquet({work!r} + "/images.parquet")
+robots = robots_df(spark, [f"host{{i}}.bench.example.com" for i in range({hosts})], 100)
+cfg = CrawlConfig(root_url="http://host0.bench.example.com/", mode=CrawlMode.STANDARD,
+                  max_pages={n}, max_depth=64, iter_window_ms=600_000, salt_partitions=32)
+seeds = [f"http://host{{i}}.bench.example.com/" for i in range({hosts})]
+t0 = time.monotonic()
+eng = CrawlEngine(spark, pages, cfg, {work!r} + "/ckpt_{cpus}", images=images,
+                  robots=robots, seeds=seeds, track_order=False, validate_images=True)
+res = eng.run()
+dt = time.monotonic() - t0
+m = res.manifest
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": dt, "urls": m.pages_fetched,
+    "iters": m.iter, "docs": m.docs_emitted}}))
+"""
+
+
+def run_level(repo, work, cpus, n, hosts):
+    code = RUNNER.format(repo=repo, work=work, cpus=cpus, n=n, hosts=hosts)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                         timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    print(out.stdout[-3000:], out.stderr[-3000:])
+    raise RuntimeError(f"run at local[{cpus}] failed")
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    work = tempfile.mkdtemp(prefix="scaling_bench_")
+    # datagen once, at full parallelism (excluded from the measured crawl)
+    gen_code = f"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "32"
+from azuresearchcrawlervector_spark.session import get_spark
+from azuresearchcrawlervector_spark.sources.synthetic import bench_pages_df, bench_images_df
+spark = get_spark("scale-datagen", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+bench_pages_df(spark, {n}, {hosts}).write.mode("overwrite").parquet({work!r} + "/pages.parquet")
+pr = spark.read.parquet({work!r} + "/pages.parquet")
+bench_images_df(spark, pr).write.mode("overwrite").parquet({work!r} + "/images.parquet")
+"""
+    subprocess.run([sys.executable, "-c", gen_code], check=True, timeout=1800)
+
+    r8 = run_level(repo, work, 8, n, hosts)
+    r32 = run_level(repo, work, 32, n, hosts)
+    thr8 = r8["urls"] / r8["sec"]
+    thr32 = r32["urls"] / r32["sec"]
+    eff = thr32 / (4 * thr8)
+    result = {
+        "n_urls": n, "n_hosts": hosts,
+        "local8": {"sec": round(r8["sec"], 1), "urls_per_sec": round(thr8, 1),
+                   "image_rows_per_sec": round(r8["docs"] / r8["sec"], 1),
+                   "iterations": r8["iters"]},
+        "local32": {"sec": round(r32["sec"], 1), "urls_per_sec": round(thr32, 1),
+                    "image_rows_per_sec": round(r32["docs"] / r32["sec"], 1),
+                    "iterations": r32["iters"]},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result, indent=2))
+    import shutil
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
