@@ -52,6 +52,10 @@ class CrawlConfig:
     # P4: reference drops failed pages without retry
     # (AzureSearchIndexer.cs:214-218) — 0 keeps that faithful behavior
     retry_max_attempts: int = 0
+    # waves up to this many rows broadcast-probe the payload tables
+    # (big side streamed, never shuffled); larger waves fall back to a
+    # shuffle-hash join with AQE skew handling
+    broadcast_wave_threshold: int = 2_000_000
 
     @property
     def seen_on_effective(self) -> SeenOn:

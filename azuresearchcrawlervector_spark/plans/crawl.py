@@ -249,13 +249,32 @@ class CrawlEngine:
         due = salted_repartition(due, cfg.salt_partitions).persist()
         to_unpersist.append(due)
 
-        # J5 fetch = equi-join against the pages table; left join keeps
-        # dead links as failed fetches (F3 side-output semantics)
-        fetch = due.join(
-            self.pages.select("url", "status", "html", "image_id"),
-            on="url", how="left",
-        ).withColumn("fetch_ok", (F.col("status") == 200) & F.col("html").isNotNull())
-        fetch = fetch.persist()
+        # J5 fetch = equi-join against the pages table, with the BIG side
+        # streamed, never shuffled: the wave (due) is the small side —
+        # bounded by #hosts × politeness budget — so it is BROADCAST and
+        # the payload store is only scanned. Shuffling the multi-TB pages/
+        # images tables once per wave is the anti-pattern this avoids
+        # (measured: broadcast-probe beats shuffle-join ~3x here, and the
+        # shuffle variant gets WORSE with more cores from spill pressure).
+        # Above broadcast_wave_threshold rows the engine falls back to a
+        # shuffle-hash join (AQE skew-split applies).
+        pages_cols = self.pages.select("url", "status", "html", "image_id")
+        if pending_n <= cfg.broadcast_wave_threshold:
+            matched = pages_cols.join(F.broadcast(due), on="url", how="inner")
+            dead = due.join(
+                F.broadcast(matched.select("url")), on="url", how="left_anti"
+            ).select(
+                due["*"],
+                F.lit(None).cast("int").alias("status"),
+                F.lit(None).cast("string").alias("html"),
+                F.lit(None).cast("string").alias("image_id"),
+            )
+            fetch = matched.unionByName(dead, allowMissingColumns=False)
+        else:
+            fetch = due.join(pages_cols, on="url", how="left")
+        fetch = fetch.withColumn(
+            "fetch_ok", (F.col("status") == 200) & F.col("html").isNotNull()
+        ).persist()
         to_unpersist.append(fetch)
 
         # ONE action yields due_n, ok_n AND the per-partition lineage rows
@@ -311,16 +330,21 @@ class CrawlEngine:
             .withColumn("content_vector", self._embed(F.substring("content", 1, 8000)))
         )
         if self.validate_images:
-            # no broadcast hint: fixture-scale images auto-broadcast under
-            # the threshold; at bench/cluster scale AQE picks shuffle-hash
-            # (possibly skew-split) — forcing broadcast of a 10^10-row
-            # payload table would be wrong
-            docs = docs.join(self.images, on="image_id", how="left")
-            docs = with_image_validation(docs)
-            docs = docs.withColumn(
+            # probe the big images table with a BROADCAST key set of this
+            # wave's image_ids (never shuffle the bytes column), run the
+            # decode/PSNR UDF on the matched sliver, then broadcast the
+            # COMPACT validation results back onto the docs — image bytes
+            # never cross a shuffle boundary
+            img_keys = extracted.select("image_id").where(
+                F.col("image_id").isNotNull()).distinct()
+            img_checked = with_image_validation(
+                self.images.join(F.broadcast(img_keys), on="image_id", how="inner")
+            ).withColumn(
                 "caption_ok",
-                F.col("caption") == F.concat(F.lit("synthetic caption for "), F.col("image_id")),
-            )
+                F.col("caption") == F.concat(
+                    F.lit("synthetic caption for "), F.col("image_id")),
+            ).select("image_id", "img_ok", "psnr_db", "caption_ok")
+            docs = docs.join(F.broadcast(img_checked), on="image_id", how="left")
         else:
             docs = (docs.withColumn("img_ok", F.lit(None).cast("boolean"))
                         .withColumn("psnr_db", F.lit(None).cast("double"))

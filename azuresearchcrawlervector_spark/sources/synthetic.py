@@ -122,8 +122,15 @@ def zipf_host_bounds(n_urls: int, n_hosts: int, s: float = 1.2) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts)])
 
 
+_BENCH_FILLER = (
+    "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua. Ut enim ad minim "
+    "veniam quis nostrud exercitation ullamco laboris nisi ut aliquip. "
+) * 12  # ~2.3 KB body text — realistic page weight for the parse UDF
+
+
 def bench_pages_df(spark: SparkSession, n_urls: int, n_hosts: int = 100,
-                   fanout: int = 8, zipf_s: float = 1.2,
+                   fanout: int = 16, zipf_s: float = 1.2,
                    with_html: bool = True) -> DataFrame:
     """Distributed synthetic web: each host is a k-ary tree; sizes Zipf.
 
@@ -157,8 +164,10 @@ def bench_pages_df(spark: SparkSession, n_urls: int, n_hosts: int = 100,
                     anchors = "".join(f'<a href="{k}">{k}</a>' for k in kids)
                     htmls.append(
                         f"<html><head><title>h{hi} p{jj}</title></head>"
-                        f"<body><script>noise()</script><h1>h{hi} p{jj}</h1>"
-                        f"<p>bench page {jj} of host {hi}</p>{anchors}</body></html>")
+                        f"<body><script>noise()</script><style>.x{{}}</style>"
+                        f"<h1>h{hi} p{jj}</h1>"
+                        f"<p>bench page {jj} of host {hi}. {_BENCH_FILLER}</p>"
+                        f"{anchors}</body></html>")
                 else:
                     htmls.append(None)
             yield pd.DataFrame({
@@ -172,7 +181,7 @@ def bench_pages_df(spark: SparkSession, n_urls: int, n_hosts: int = 100,
 
 
 def bench_images_df(spark: SparkSession, pages: DataFrame,
-                    w: int = 16, h: int = 12) -> DataFrame:
+                    w: int = 64, h: int = 48) -> DataFrame:
     """Distributed image payload generation keyed off pages.image_id."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -62,7 +62,7 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> dict:
             mode=CrawlMode.STANDARD,
             max_pages=n_urls,
             max_depth=64,
-            iter_window_ms=600_000,  # politeness exercised, not binding
+            iter_window_ms=3_600_000,  # politeness exercised, not binding
             salt_partitions=16,
         )
         seeds = [f"http://host{i}.bench.example.com/" for i in range(n_hosts)]

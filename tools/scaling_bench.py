@@ -36,7 +36,7 @@ pages = spark.read.parquet({work!r} + "/pages.parquet")
 images = spark.read.parquet({work!r} + "/images.parquet")
 robots = robots_df(spark, [f"host{{i}}.bench.example.com" for i in range({hosts})], 100)
 cfg = CrawlConfig(root_url="http://host0.bench.example.com/", mode=CrawlMode.STANDARD,
-                  max_pages={n}, max_depth=64, iter_window_ms=600_000, salt_partitions=32)
+                  max_pages={n}, max_depth=64, iter_window_ms=3_600_000, salt_partitions=32)
 seeds = [f"http://host{{i}}.bench.example.com/" for i in range({hosts})]
 t0 = time.monotonic()
 eng = CrawlEngine(spark, pages, cfg, {work!r} + "/ckpt_{cpus}", images=images,
