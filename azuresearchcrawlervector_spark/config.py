@@ -52,6 +52,9 @@ class CrawlConfig:
     # P4: reference drops failed pages without retry
     # (AzureSearchIndexer.cs:214-218) — 0 keeps that faithful behavior
     retry_max_attempts: int = 0
+    # T3 raw-HTML mode: False stores <body> inner HTML, scripts kept
+    # (TextExtractor.cs:45-48); True = cleaned-text extraction
+    extract_text: bool = True
     # waves up to this many rows broadcast-probe the payload tables
     # (big side streamed, never shuffled); larger waves fall back to a
     # shuffle-hash join with AQE skew handling

@@ -18,3 +18,26 @@ def make_embed_udf(dim: int = DEFAULT_DIM):
         return pd.Series([pseudo_embed(t, dim).tolist() for t in text])
 
     return embed_udf
+
+
+def make_dual_embed_udf(dim: int = DEFAULT_DIM):
+    """(title, content) → struct(title_vector, content_vector) in ONE
+    Arrow pass — the reference embeds both per page
+    (AzureSearchIndexer.cs:185-191); fusing them halves the UDF
+    round-trips of the (large) content column."""
+    from pyspark.sql.types import StructField, StructType
+
+    vec = ArrayType(FloatType(), containsNull=False)
+    out_t = StructType([
+        StructField("title_vector", vec),
+        StructField("content_vector", vec),
+    ])
+
+    @F.pandas_udf(out_t)
+    def dual_embed_udf(title: pd.Series, content: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "title_vector": [pseudo_embed(t, dim).tolist() for t in title],
+            "content_vector": [pseudo_embed(c, dim).tolist() for c in content],
+        })
+
+    return dual_embed_udf

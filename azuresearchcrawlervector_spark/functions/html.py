@@ -18,7 +18,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..core.htmlkit import extract_page
+from ..core.htmlkit import extract_body_html, extract_page
 
 LINK_TYPE = StructType(
     [
@@ -58,6 +58,13 @@ def with_extraction(df, html_col: str = "html", selector: str | None = None):
         .withColumn("links", F.col("_ext.links"))
         .drop("_ext")
     )
+
+
+@F.pandas_udf(StringType())
+def raw_body_udf(html: pd.Series) -> pd.Series:
+    """T3 raw-HTML mode: inner HTML of <body>, scripts kept
+    (TextExtractor.cs:45-48; test TextExtractorTests.cs:109-119)."""
+    return html.map(extract_body_html, na_action="ignore")
 
 
 def clean_whitespace_col(text: Column) -> Column:

@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 from ..config import CrawlConfig, CrawlMode, SeenOn
 from ..core.urls import canonicalize, host_of
 from ..core.xxh import url_hash
-from ..functions.embeddings import make_embed_udf
+from ..functions.embeddings import make_dual_embed_udf
 from ..functions.html import with_extraction
 from ..functions.imagefn import with_image_validation
 from ..functions.urls import (
@@ -142,6 +142,8 @@ class CrawlEngine:
         validate_images: bool = True,
         max_iters: int = 1000,
         seed_pending: DataFrame | None = None,
+        dry_run: bool = False,
+        extractor=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -154,7 +156,14 @@ class CrawlEngine:
         self.validate_images = validate_images and images is not None
         self.max_iters = max_iters
         self.seed_pending = seed_pending
-        self._embed = make_embed_udf(cfg.embedding_dim)
+        # dry-run: crawl (frontier/seen/metrics advance) but emit no
+        # documents (AzureSearchIndexer.cs:151-155)
+        self.dry_run = dry_run
+        # U1 extension point: the reference's virtual TextExtractor
+        # (TextExtractor.cs:19) — pass a custom (df, html_col, selector)
+        # -> df+title/content/links function to swap extraction
+        self.extractor = extractor or with_extraction
+        self._embed = make_dual_embed_udf(cfg.embedding_dim)
 
     # ------------------------------------------------------------------ seed
     def _seed_pending(self) -> DataFrame:
@@ -201,8 +210,17 @@ class CrawlEngine:
         must stay small relative to row work): 1 stats collect,
         1 extraction materialization, 4 PARALLEL table writes, 1 footer
         count, 1 metrics write. Everything else is plan construction."""
+        import os
         spark, cfg, i = self.spark, self.cfg, m.iter + 1
         t0 = time.monotonic()
+        _phase_t = [time.monotonic()]
+        _phases: list[tuple[str, float]] = []
+
+        def _mark(name: str):
+            now = time.monotonic()
+            _phases.append((name, round(now - _phase_t[0], 2)))
+            _phase_t[0] = now
+
         remaining = cfg.max_pages - m.pages_fetched
         if remaining <= 0 or m.pending_count == 0:
             m.finished = True
@@ -285,6 +303,7 @@ class CrawlEngine:
                 F.sum((~F.col("fetch_ok")).cast("long")).alias("failed"),
             ).collect()
         )
+        _mark("stats_collect")
         ok_n = int(sum(r["fetched"] or 0 for r in part_rows))
         due_n = int(ok_n + sum(r["failed"] or 0 for r in part_rows))
         if due_n == 0:
@@ -305,9 +324,15 @@ class CrawlEngine:
         # T1/T2 extraction — ONE parse per page (UDF), selector scoping
         # F5/F6; materialized now so the four table writes below can run
         # concurrently off the cache
-        extracted = with_extraction(ok, "html", cfg.dom_selector).persist()
+        extracted = self.extractor(ok, "html", cfg.dom_selector)
+        if not cfg.extract_text:
+            # T3 raw-HTML mode: store <body> inner HTML, scripts kept
+            from ..functions.html import raw_body_udf
+            extracted = extracted.withColumn("content", raw_body_udf(F.col("html")))
+        extracted = extracted.persist()
         to_unpersist.append(extracted)
         extracted.count()
+        _mark("extract_mat")
 
         # visit order (oracle contract): seq = emitted_so_far + rank(priority).
         # Global window = fine at oracle scale; disabled for bench runs
@@ -326,8 +351,11 @@ class CrawlEngine:
             extracted_seq
             .filter(F.length("content") > 0)  # F4 empty-content skip
             .withColumn("id", doc_id_col("url"))
-            .withColumn("title_vector", self._embed(F.substring("title", 1, 8000)))
-            .withColumn("content_vector", self._embed(F.substring("content", 1, 8000)))
+            .withColumn("_vecs", self._embed(
+                F.substring("title", 1, 8000), F.substring("content", 1, 8000)))
+            .withColumn("title_vector", F.col("_vecs.title_vector"))
+            .withColumn("content_vector", F.col("_vecs.content_vector"))
+            .drop("_vecs")
         )
         if self.validate_images:
             # probe the big images table with a BROADCAST key set of this
@@ -354,6 +382,8 @@ class CrawlEngine:
             "title_vector", "content_vector", "image_id",
             "img_ok", "psnr_db", "caption_ok",
         )
+        if self.dry_run:
+            docs_out = docs_out.limit(0)
 
         # links: A2 depth gate (extract only below max_depth), F5/F6 selector,
         # F1 shape filter, J4 absolutize, F2 same-host, exact dedup J1-J3
@@ -467,8 +497,11 @@ class CrawlEngine:
         # three writes per wave: frontier_log (lineage + seen projection),
         # documents, pending'. Metrics ride in the manifest commit.
         log_path = self.store.write_delta(frontier_log, "frontier_log", i)
+        _mark("log_write")
         doc_path = self.store.write_delta(docs_out, "documents", i)
+        _mark("docs_write")
         pending_path = self.store.write_pending(pending_next, i)
+        _mark("pending_write")
 
         # footer-only count of the written pending file (no recompute)
         pending_next_n = spark.read.parquet(pending_path).count()
@@ -504,6 +537,10 @@ class CrawlEngine:
             finished=False,
         )
         self.store.commit(m2)
+        _mark("commit")
+        if os.environ.get("SPARK_CRAWL_PHASE_TIMING"):
+            print(f"PHASES iter={i} due={due_n} " +
+                  " ".join(f"{k}={v}" for k, v in _phases), flush=True)
         for df in to_unpersist:
             df.unpersist()
         return m2
