@@ -21,6 +21,7 @@ def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
+        df.explain()  # simple mode: codegen spans appear as *(n)
     return buf.getvalue()
 
 
@@ -44,7 +45,7 @@ def audit(name: str, plan: str) -> list[str]:
         notes.append(f"joins: {plan.count('ShuffledHashJoin')} shuffled-hash")
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
         notes.append("WARN nested-loop/cartesian present")
-    n_wsc = plan.count("WholeStageCodegen")
+    n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     notes.append(f"codegen spans: {n_wsc}")
     n_ex = plan.count("Exchange")
     notes.append(f"exchanges: {n_ex}")
