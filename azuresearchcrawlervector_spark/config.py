@@ -59,6 +59,18 @@ class CrawlConfig:
     # (big side streamed, never shuffled); larger waves fall back to a
     # shuffle-hash join with AQE skew handling
     broadcast_wave_threshold: int = 2_000_000
+    # enforce robots.txt Disallow prefixes on discovered links — opt-in;
+    # the reference never enforces them (Abot's respect-robots flag
+    # defaults off, sitemap/headless crawlers ignore robots rules)
+    respect_robots_disallow: bool = False
+    # P5 crawl timeout: None = reference formula maxPages x 10 s
+    # (AbotCrawler.cs:165) with a 600 s floor so tiny-budget crawls on a
+    # loaded machine aren't killed mid-wave
+    crawl_timeout_s: int | None = None
+    # compact the frontier_log delta files once this many accumulate —
+    # the seen projection re-reads them every wave, so unbounded delta
+    # fan-in would make wave cost grow with crawl age
+    log_compaction_files: int = 12
 
     @property
     def seen_on_effective(self) -> SeenOn:

@@ -53,6 +53,26 @@ def apply_politeness(
     )
 
 
+def apply_robots_disallow(df: DataFrame, robots: DataFrame | None,
+                          url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL path starts with any robots.txt Disallow
+    prefix for its host. Opt-in: the reference does NOT enforce
+    disallow rules (Abot's IsRespectRobotsDotTextEnabled defaults off
+    and the sitemap/headless crawlers never read them) — this is the
+    production-correct extension over the fixture robots table
+    (FIXTURES.md §3)."""
+    if robots is None:
+        return df
+    dis = robots.select("host", "disallow")
+    joined = df.join(F.broadcast(dis), on="host", how="left")
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    blocked = F.exists(
+        F.coalesce(F.col("disallow"), F.array()),
+        lambda d: path.startswith(d),
+    )
+    return joined.filter(~blocked).drop("disallow")
+
+
 def rate_limit_budget(df: DataFrame, max_per_window: int,
                       priority_col: str = "priority") -> DataFrame:
     """P3: the reference's GLOBAL RateLimiter (≥4 s between embedding

@@ -195,7 +195,8 @@ class CrawlEngine:
         if m.finished:
             return CrawlResult(self.store, m, self.cfg.seen_on_effective)
 
-        wall_guard = time.monotonic() + self.cfg.max_pages * 10  # P5 analog
+        timeout_s = self.cfg.crawl_timeout_s or max(600, self.cfg.max_pages * 10)
+        wall_guard = time.monotonic() + timeout_s  # P5 analog (AbotCrawler.cs:165)
         while m.iter < self.max_iters and time.monotonic() < wall_guard:
             m = self._wave(m)
             if m.finished:
@@ -263,9 +264,10 @@ class CrawlEngine:
         else:
             due, capped = budget_due, False
 
-        # P2 salted repartition for the fetch stage (hot-host skew)
-        due = salted_repartition(due, cfg.salt_partitions).persist()
-        to_unpersist.append(due)
+        # P2 salted repartition for the fetch stage (hot-host skew);
+        # no separate persist — `fetch` (persisted below) is its only
+        # consumer besides the tiny capped-overflow anti-join
+        due = salted_repartition(due, cfg.salt_partitions)
 
         # J5 fetch = equi-join against the pages table, with the BIG side
         # streamed, never shuffled: the wave (due) is the small side —
@@ -292,7 +294,15 @@ class CrawlEngine:
             fetch = due.join(pages_cols, on="url", how="left")
         fetch = fetch.withColumn(
             "fetch_ok", (F.col("status") == 200) & F.col("html").isNotNull()
-        ).persist()
+        )
+        if pending_n > 5000:
+            # the downstream extraction/embed UDF stages inherit THIS
+            # DataFrame's partitioning; a big wave that came out of a
+            # few coarse scan splits would starve the executors — one
+            # cheap shuffle of the wave (bounded by the politeness
+            # budget) buys full-width UDF parallelism
+            fetch = fetch.repartition(spark.sparkContext.defaultParallelism)
+        fetch = fetch.persist()
         to_unpersist.append(fetch)
 
         # ONE action yields due_n, ok_n AND the per-partition lineage rows
@@ -314,7 +324,9 @@ class CrawlEngine:
             return m
 
         if capped:
-            overflow = budget_due.join(due.select("url_hash"), "url_hash", "left_anti")
+            # fetch (cached) carries exactly the due url_hashes
+            overflow = budget_due.join(
+                fetch.select("url_hash"), "url_hash", "left_anti")
             carried = budget_carry.unionByName(overflow)
         else:
             carried = budget_carry
@@ -331,7 +343,8 @@ class CrawlEngine:
             extracted = extracted.withColumn("content", raw_body_udf(F.col("html")))
         extracted = extracted.persist()
         to_unpersist.append(extracted)
-        extracted.count()
+        # no explicit materialization: the docs write below computes the
+        # cache once; the pending write reuses it (sequential writes)
         _mark("extract_mat")
 
         # visit order (oracle contract): seq = emitted_so_far + rank(priority).
@@ -408,6 +421,9 @@ class CrawlEngine:
         )
         if cfg.same_host_only:
             links = links.filter(F.col("host") == F.col("root_host"))
+        if cfg.respect_robots_disallow and self.robots is not None:
+            from ..operators.politeness import apply_robots_disallow
+            links = apply_robots_disallow(links, self.robots)
         children = (
             links.withColumn("depth", F.col("parent_depth") + 1)
             .withColumn("link_pos", F.col("lnk.link_pos"))
@@ -500,17 +516,18 @@ class CrawlEngine:
         _mark("log_write")
         doc_path = self.store.write_delta(docs_out, "documents", i)
         _mark("docs_write")
-        pending_path = self.store.write_pending(pending_next, i)
+        # pending counts ride the write job via observe() — no extra action
+        from pyspark.sql import Observation
+        obs = Observation(f"pending_{i}")
+        pending_obs = pending_next.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("iter_added") == i).cast("long")).alias("new"),
+        )
+        pending_path = self.store.write_pending(pending_obs, i)
+        pending_next_n = int(obs.get["n"])
+        new_links_n = int(obs.get["new"] or 0)
         _mark("pending_write")
-
-        # footer-only count of the written pending file (no recompute)
-        pending_next_n = spark.read.parquet(pending_path).count()
-        carried_n = pending_n - due_n
-        if cfg.mode == CrawlMode.HEADLESS:
-            new_links_n = spark.read.parquet(pending_path).filter(
-                F.col("iter_added") == i).count()
-        else:
-            new_links_n = pending_next_n - carried_n
 
         # metrics: per-partition fetch lineage rows + a global (-1) row,
         # committed inside the manifest (no extra write job)
@@ -521,9 +538,18 @@ class CrawlEngine:
             for r in part_rows
         ] + [[i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms]]
 
+        log_paths = list(m.deltas.get("frontier_log", [])) + [log_path]
+        if len(log_paths) >= cfg.log_compaction_files:
+            # Iceberg-style compaction: rewrite the accumulated deltas as
+            # one file set; old files stay on disk so earlier manifests
+            # (snapshot rollback) remain readable
+            compact = self.store.delta_path("frontier_log", i).replace(
+                "delta_", "compact_")
+            spark.read.parquet(*log_paths).write.mode("overwrite").parquet(compact)
+            log_paths = [compact]
         deltas = {
             "documents": list(m.deltas.get("documents", [])) + [doc_path],
-            "frontier_log": list(m.deltas.get("frontier_log", [])) + [log_path],
+            "frontier_log": log_paths,
         }
         fetched_count = due_n if cfg.seen_on_effective == SeenOn.SCHEDULE else ok_n
         m2 = Manifest(

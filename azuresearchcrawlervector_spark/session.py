@@ -38,7 +38,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # CPU-heavy Arrow UDF stages (HTML parse, image decode) run at
+        # scan parallelism: 128 MB splits over a few-hundred-MB payload
+        # table would cap those stages at a handful of tasks. 16 MB keeps
+        # every core fed; IO-bound pure-scan jobs lose little.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

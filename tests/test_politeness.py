@@ -87,3 +87,32 @@ def test_anti_join_seen_exact_despite_sketch(spark):
     out = anti_join_seen(cand, seen, sketch)
     got = sorted(r["url_hash"] for r in out.collect())
     assert got == list(range(1, 1000, 2))  # exactly the odd (unseen) keys
+
+
+def test_robots_disallow_enforced(spark, tmp_ckpt):
+    """Opt-in Disallow enforcement: /contact/* blocked for the fixture host."""
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    from azuresearchcrawlervector_spark.sources.synthetic import pages_df as _pages_df
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    g = test_website()
+    robots = spark.createDataFrame(
+        [("testsite1.example.com", 100, ["/contact/"], None)],
+        StructType([
+            StructField("host", StringType()),
+            StructField("crawl_delay_ms", LongType()),
+            StructField("disallow", ArrayType(StringType())),
+            StructField("sitemap_url", StringType()),
+        ]),
+    )
+    from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine as _Eng
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD,
+                      respect_robots_disallow=True)
+    res = _Eng(spark, _pages_df(spark, g), cfg, tmp_ckpt, robots=robots,
+               validate_images=False).run()
+    urls = {r["url"] for r in res.documents(spark).collect()}
+    assert not any("/contact/office" in u for u in urls)
+    assert any(u.endswith("/contact.html") for u in urls)  # page itself allowed
+    assert len(urls) == 11  # 19 fixture pages minus 8 disallowed offices

@@ -89,22 +89,29 @@ bench_images_df(spark, pr).write.mode("overwrite").parquet({work!r} + "/images.p
     # best run of each — best-of reflects the engine's capability, the
     # spread reflects the neighbor
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    # Parallelism levels: default N=8 vs 4N=32. On this shared box a
+    # neighbor's load directly competes with a 32-thread run while
+    # leaving an 8-thread run mostly untouched, which inverts scaling
+    # measurements — SCALE_N=2 measures N=2 vs 4N=8 entirely inside the
+    # uncontended core budget instead.
+    lvl_n = int(os.environ.get("SCALE_N", "8"))
+    lvl_4n = 4 * lvl_n
     runs8, runs32 = [], []
     for _ in range(repeats):
-        runs8.append(run_level(repo, work, 8, n, hosts))
-        runs32.append(run_level(repo, work, 32, n, hosts))
+        runs8.append(run_level(repo, work, lvl_n, n, hosts))
+        runs32.append(run_level(repo, work, lvl_4n, n, hosts))
     r8 = min(runs8, key=lambda r: r["sec"])
     r32 = min(runs32, key=lambda r: r["sec"])
     thr8 = r8["urls"] / r8["sec"]
     thr32 = r32["urls"] / r32["sec"]
     eff = thr32 / (4 * thr8)
     result = {
-        "n_urls": n, "n_hosts": hosts,
-        "local8": {"sec": round(r8["sec"], 1), "urls_per_sec": round(thr8, 1),
+        "n_urls": n, "n_hosts": hosts, "levels": [lvl_n, lvl_4n],
+        f"local{lvl_n}": {"sec": round(r8["sec"], 1), "urls_per_sec": round(thr8, 1),
                    "image_rows_per_sec": round(r8["docs"] / r8["sec"], 1),
                    "iterations": r8["iters"],
                    "all_secs": [round(r["sec"], 1) for r in runs8]},
-        "local32": {"sec": round(r32["sec"], 1), "urls_per_sec": round(thr32, 1),
+        f"local{lvl_4n}": {"sec": round(r32["sec"], 1), "urls_per_sec": round(thr32, 1),
                     "image_rows_per_sec": round(r32["docs"] / r32["sec"], 1),
                     "iterations": r32["iters"],
                     "all_secs": [round(r["sec"], 1) for r in runs32]},
