@@ -56,9 +56,13 @@ class CrawlConfig:
     # (TextExtractor.cs:45-48); True = cleaned-text extraction
     extract_text: bool = True
     # waves up to this many rows broadcast-probe the payload tables
-    # (big side streamed, never shuffled); larger waves fall back to a
-    # shuffle-hash join with AQE skew handling
-    broadcast_wave_threshold: int = 2_000_000
+    # (big side streamed, never shuffled). Larger waves switch to the
+    # SKETCH-FILTERED fetch: a Bloom sketch of the wave's url hashes
+    # (built in parallel, ~2 bytes/key) filters the payload scan on the
+    # executors, then a wave-sized shuffle join resolves exactly —
+    # driver-side broadcast build time would otherwise grow linearly
+    # with wave size and serialize the whole crawl.
+    broadcast_wave_threshold: int = 100_000
     # enforce robots.txt Disallow prefixes on discovered links — opt-in;
     # the reference never enforces them (Abot's respect-robots flag
     # defaults off, sitemap/headless crawlers ignore robots rules)

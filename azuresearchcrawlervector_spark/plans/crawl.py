@@ -56,7 +56,9 @@ from ..functions.urls import (
     canonicalize_udf, doc_id_col, host_udf, href_is_crawlable_col, url_hash_col,
 )
 from ..operators.politeness import apply_politeness, salted_repartition
-from ..operators.seen import BloomFilter, anti_join_seen, merged_sketch
+from ..operators.seen import (
+    BloomFilter, anti_join_seen, merged_sketch, split_by_sketch,
+)
 from .checkpoint import Manifest, SnapshotStore
 
 PENDING_SCHEMA = StructType([
@@ -279,7 +281,8 @@ class CrawlEngine:
         # Above broadcast_wave_threshold rows the engine falls back to a
         # shuffle-hash join (AQE skew-split applies).
         pages_cols = self.pages.select("url", "status", "html", "image_id")
-        if pending_n <= cfg.broadcast_wave_threshold:
+        small_wave = pending_n <= cfg.broadcast_wave_threshold
+        if small_wave:
             matched = pages_cols.join(F.broadcast(due), on="url", how="inner")
             dead = due.join(
                 F.broadcast(matched.select("url")), on="url", how="left_anti"
@@ -291,7 +294,20 @@ class CrawlEngine:
             )
             fetch = matched.unionByName(dead, allowMissingColumns=False)
         else:
-            fetch = due.join(pages_cols, on="url", how="left")
+            # sketch-filtered fetch: probe the pages scan with a Bloom of
+            # the wave's url hashes (no false negatives ⇒ no lost fetches;
+            # FPs only add rows to the exact join below), then a
+            # wave-sized shuffle LEFT join — dead links fall out as
+            # null-status rows. No driver-side broadcast build.
+            wave_sketch = merged_sketch(
+                due.select("url_hash"), "url_hash",
+                BloomFilter.sized_for(pending_n, cfg.bloom_bits_per_key).n_bits,
+            )
+            pages_probe = split_by_sketch(
+                pages_cols.withColumn("url_hash", url_hash_col("url")),
+                wave_sketch, "url_hash",
+            ).filter(F.col("maybe_seen")).drop("maybe_seen", "url_hash")
+            fetch = due.join(pages_probe, on="url", how="left")
         fetch = fetch.withColumn(
             "fetch_ok", (F.col("status") == 200) & F.col("html").isNotNull()
         )
@@ -371,21 +387,34 @@ class CrawlEngine:
             .drop("_vecs")
         )
         if self.validate_images:
-            # probe the big images table with a BROADCAST key set of this
-            # wave's image_ids (never shuffle the bytes column), run the
-            # decode/PSNR UDF on the matched sliver, then broadcast the
-            # COMPACT validation results back onto the docs — image bytes
-            # never cross a shuffle boundary
-            img_keys = extracted.select("image_id").where(
-                F.col("image_id").isNotNull()).distinct()
-            img_checked = with_image_validation(
-                self.images.join(F.broadcast(img_keys), on="image_id", how="inner")
-            ).withColumn(
+            # probe the big images table with THIS wave's image_ids (the
+            # bytes column never crosses a shuffle): small waves broadcast
+            # the key set; big waves sketch-filter the scan (executor-side,
+            # no driver broadcast build). The decode/PSNR UDF runs on the
+            # matched sliver; the COMPACT validation rows then join back.
+            if small_wave:
+                img_keys = extracted.select("image_id").where(
+                    F.col("image_id").isNotNull()).distinct()
+                img_matched = self.images.join(
+                    F.broadcast(img_keys), on="image_id", how="inner")
+            else:
+                img_sketch = merged_sketch(
+                    extracted.select(F.xxhash64("image_id").alias("ih")), "ih",
+                    BloomFilter.sized_for(pending_n, cfg.bloom_bits_per_key).n_bits,
+                )
+                img_matched = split_by_sketch(
+                    self.images.withColumn("ih", F.xxhash64("image_id")),
+                    img_sketch, "ih",
+                ).filter(F.col("maybe_seen")).drop("maybe_seen", "ih")
+            img_checked = with_image_validation(img_matched).withColumn(
                 "caption_ok",
                 F.col("caption") == F.concat(
                     F.lit("synthetic caption for "), F.col("image_id")),
             ).select("image_id", "img_ok", "psnr_db", "caption_ok")
-            docs = docs.join(F.broadcast(img_checked), on="image_id", how="left")
+            if small_wave:
+                docs = docs.join(F.broadcast(img_checked), on="image_id", how="left")
+            else:
+                docs = docs.join(img_checked, on="image_id", how="left")
         else:
             docs = (docs.withColumn("img_ok", F.lit(None).cast("boolean"))
                         .withColumn("psnr_db", F.lit(None).cast("double"))

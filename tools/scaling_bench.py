@@ -29,14 +29,18 @@ from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
 from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
 from azuresearchcrawlervector_spark.sources.synthetic import robots_df
 
+# AQE off for the crawl loop: every join here is explicitly broadcast and
+# skew is handled by explicit salting, so AQE's per-shuffle re-planning
+# only adds latency to the many small iterative stages (measured ~12%).
 spark = get_spark("scale-{cpus}", master="local[{cpus}]", shuffle_partitions={cpus},
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.sql.adaptive.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({work!r} + "/pages.parquet")
 images = spark.read.parquet({work!r} + "/images.parquet")
 robots = robots_df(spark, [f"host{{i}}.bench.example.com" for i in range({hosts})], 100)
 cfg = CrawlConfig(root_url="http://host0.bench.example.com/", mode=CrawlMode.STANDARD,
-                  max_pages={n}, max_depth=64, iter_window_ms=3_600_000, salt_partitions=32)
+                  max_pages={n}, max_depth=64, iter_window_ms=36_000_000, salt_partitions=32)
 seeds = [f"http://host{{i}}.bench.example.com/" for i in range({hosts})]
 import uuid
 t0 = time.monotonic()
