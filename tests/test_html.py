@@ -4,7 +4,7 @@ from azuresearchcrawlervector_spark.core.htmlkit import (
     extract_body_html, extract_page,
 )
 from azuresearchcrawlervector_spark.sources.fixtures import (
-    expected_extraction, render_html, test_website,
+    expected_extraction, render_html, test_website as website1_graph,
 )
 
 
@@ -76,7 +76,7 @@ def test_raw_body_mode():
 def test_fixture_expected_extraction_matches_kernel():
     """The generator's ground-truth columns must agree with the extraction
     kernel on every generated fixture page (engine-side sanity)."""
-    g = test_website()
+    g = website1_graph()
     cls = g.selector.partition(".")[2]
     for spec in g.pages.values():
         html = render_html(spec, cls)

@@ -9,7 +9,9 @@ from azuresearchcrawlervector_spark.core.images import (
     qpng_decode, qpng_encode,
 )
 from azuresearchcrawlervector_spark.functions.imagefn import with_image_validation
-from azuresearchcrawlervector_spark.sources.fixtures import test_website
+from azuresearchcrawlervector_spark.sources.fixtures import (
+    test_website as website1_graph,
+)
 from azuresearchcrawlervector_spark.sources.synthetic import images_df
 
 
@@ -46,7 +48,7 @@ def test_pixel_generation_deterministic():
 
 
 def test_decode_validate_udf(spark):
-    g = test_website()
+    g = website1_graph()
     imgs = images_df(spark, g)
     validated = with_image_validation(imgs)
     rows = validated.select("image_id", "fmt", "img_ok", "psnr_db", "phash_dec", "phash").collect()

@@ -72,10 +72,15 @@ def test_retry_policy(spark, tmp_ckpt):
 def test_sites_file_multi_crawl(spark, tmp_path):
     g1, g2 = website1_graph(), website2_graph()
     pages = pages_df(spark, g1).unionByName(pages_df(spark, g2))
+    # the reference's multi-site scenario seeds the selector-scoped site at
+    # /cases.html, not at / (TestWebsiteIntegrationTests.cs:119-160) — the
+    # root page has no div.case-header links so a root-seeded selector crawl
+    # could never reach /cases/.
     sites = json.dumps([
         {"uri": g1.root, "maxDepth": 1},
         {"uri": "not a uri", "maxDepth": 2},      # skipped like the reference
-        {"uri": g2.root, "maxDepth": 10, "domSelector": g2.selector},
+        {"uri": g2.root.rstrip("/") + "/cases.html", "maxDepth": 10,
+         "domSelector": g2.selector},
     ])
     assert len(parse_sites_json(sites)) == 3
     results = run_sites(spark, pages, sites, str(tmp_path / "sites"),
