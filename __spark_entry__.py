@@ -10,9 +10,10 @@ per-row image PSNR/caption invariants.
 ``queries()``/``oracle_sql()`` cover the engine's Spark primitives and
 the training-data operator suite over /root/testdata (SURVEY.md §2 +
 the dedup/similarity/text-analysis family), each with an ANSI-SQL twin
-for the DuckDB oracle. Probabilistic ops (MinHash-LSH, SimHash — not
-SQL-expressible: xxhash64/blake2 have no DuckDB equivalent) are
-registered without an oracle → rows-only check, by design.
+for the DuckDB oracle — including the flagship crawl (simulator-golden
+VALUES), the md5-tokenized SimHash, and the ANN-LSH path (seeded
+hyperplanes inlined). The only rows-only entry is MinHash-LSH, whose
+banded candidate set depends on blake2b + Spark's internal hash().
 """
 
 from __future__ import annotations
@@ -186,8 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_dedup(d).orderBy("content_hash")
 
     def q_dedup_ngram_jaccard(spark, sf):
+        # max_df=100 prefix filter keeps the inverted-index self-join
+        # linear-ish at scale (recall contract in the operator docstring);
+        # the DuckDB oracle applies the IDENTICAL pruning.
         d = spark.read.parquet(_t(sf, "documents"))
-        return ngram_jaccard_pairs(d, k=3, threshold=0.2).orderBy("id_a", "id_b")
+        return (ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+                .orderBy("id_a", "id_b"))
 
     def q_token_counts(spark, sf):
         d = spark.read.parquet(_t(sf, "documents"))
@@ -231,22 +236,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return topk_cosine(em, [float(x) for x in qvec], k=10)
 
-    # -- non-SQL-expressible (rows-only checks, by design) ----------------
-    def q_minhash_lsh(spark, sf):
-        d = spark.read.parquet(_t(sf, "documents"))
-        return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
-
     def q_simhash(spark, sf):
+        # md5_60 token hash — exactly reproducible in DuckDB (oracle
+        # twin below); the xxh64 fast path is exercised by simhash_pairs
+        # in tests/bench.
         d = spark.read.parquet(_t(sf, "documents"))
-        return simhash64(d).orderBy("doc_id")
+        return simhash64(d, token_hash="md5_60").orderBy("doc_id")
 
     def q_ann_lsh(spark, sf):
+        # seeded hyperplanes are deterministic literals — the oracle
+        # inlines the same planes and probes hamming(bucket, qbucket) <= 2
         em = spark.read.parquet(_t(sf, "embeddings"))
         qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ann_topk_lsh(em, [float(x) for x in qvec], k=10)
 
     def q_crawl_flagship(spark, sf):
         return entry(spark).select("seq", "url", "depth", "id", "title")
+
+    # -- non-SQL-expressible (rows-only check, by design) -----------------
+    def q_minhash_lsh(spark, sf):
+        d = spark.read.parquet(_t(sf, "documents"))
+        return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -276,6 +286,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ----------------------------------------------------------------- oracles
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, multiprobe: int = 2,
+                        k: int = 10) -> str:
+    """ANN-LSH oracle: the hyperplanes are seed-42 literals, so the twin
+    inlines the same planes, computes each row's sign bucket, restricts
+    to hamming(bucket, qbucket) <= multiprobe, and brute-forces inside —
+    exactly the Spark plan's semantics."""
+    from azuresearchcrawlervector_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+
+    def dot(vec_expr: str, row) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in row) + "]"
+        return (f"list_sum(list_transform(list_zip({vec_expr}, {lit}),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', row)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+          FROM embeddings),
+        q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS cosine
+        FROM b, q
+        WHERE bit_count(xor(bucket, qb)) <= {multiprobe}
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _crawl_flagship_oracle_sql() -> str:
+    """Golden-values oracle for the flagship crawl: the engine is pinned
+    to the pure-Python simulator (exact visit order / seen set / content,
+    tests/test_crawl.py), and the simulator is cheap — so the oracle is
+    the simulator's own output inlined as VALUES. The driver then
+    hash-checks the crawl itself against an independent implementation."""
+    import hashlib
+
+    from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
+    from azuresearchcrawlervector_spark.simulator import simulate
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+
+    g = test_website()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    res = simulate(g, cfg)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({d['seq']}, {q(d['url'])}, {d['depth']},"
+        f" {q(hashlib.sha512(d['url'].encode()).hexdigest())}, {q(d['title'])})"
+        for d in res.documents)
+    return f"""
+        SELECT CAST(seq AS INT) AS seq, url, CAST(depth AS INT) AS depth,
+               id, title
+        FROM (VALUES {rows}) AS t(seq, url, depth, id, title)
+        ORDER BY seq
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     dot_ab = ("list_sum(list_transform(list_zip(a.embedding, b.embedding),"
               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
@@ -367,11 +443,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id,
                      array_to_string(ts[i.g:i.g+2], ' ') AS shingle
               FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
               WHERE i.g <= len(ts) - 2),
+            -- max_df=100 prefix filter, identical to the Spark query
+            sh AS (
+              SELECT sh0.* FROM sh0
+              WHERE shingle NOT IN (
+                SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -385,6 +466,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = id_b)
             WHERE jaccard >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "simhash64": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM toks WHERE tok <> ''),
+            bits AS (
+              SELECT doc_id, i.g AS bit,
+                     CASE WHEN (h >> i.g) & 1 = 1 THEN 1 ELSE -1 END AS sign
+              FROM hashed, (SELECT unnest(generate_series(0, 59)) AS g) i),
+            agg AS (SELECT doc_id, bit, sum(sign) AS s FROM bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM agg GROUP BY doc_id ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,
@@ -438,7 +537,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        # minhash_lsh_dups / simhash64 / ann_topk_lsh / crawl_flagship:
-        # intentionally no oracle (probabilistic or engine-native) —
-        # driver records the weaker rows-only check.
+        "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "crawl_flagship": _crawl_flagship_oracle_sql(),
+        # minhash_lsh_dups: intentionally no oracle — the banded-LSH
+        # candidate set depends on blake2b + Spark's internal hash()
+        # (neither exists in DuckDB); driver records the rows-only check.
     }

@@ -54,14 +54,21 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 3, threshold: float = 0.2, max_df: int | None = None,
+    k: int = 3, threshold: float = 0.2, max_df: int | None = 100,
 ) -> DataFrame:
-    """EXACT Jaccard similarity join via inverted index on word k-grams.
+    """Jaccard similarity join via inverted index on word k-grams.
 
-    shingles → (optional) stop-shingle pruning → self-join on shingle →
+    shingles → stop-shingle pruning → self-join on shingle →
     per-pair intersection counts → |A∪B| from per-doc sizes → filter.
-    ``max_df`` drops shingles appearing in more than max_df docs (prefix
-    filter) — deterministic, documented recall impact.
+
+    ``max_df`` (default 100) drops shingles appearing in more than
+    max_df docs BEFORE the self-join — the standard prefix-filter: a
+    single boilerplate shingle shared by f docs contributes f·(f-1)/2
+    join rows, so an unpruned hot shingle makes the self-join quadratic
+    at scale. Recall contract: pairs whose overlap consists ONLY of
+    shingles each shared by > max_df documents are missed — such
+    overlap is boilerplate by definition. Deterministic; pass
+    ``max_df=None`` for the exact (scale-unsafe) join.
     """
     sh = word_shingles(df, text_col, id_col, k)
     if max_df is not None:
@@ -97,23 +104,64 @@ def _minhash_params(n_hashes: int, seed: int = 42):
     return a, b
 
 
+_M61 = np.uint64(MERSENNE61)
+_MASK30 = np.uint64((1 << 30) - 1)
+_MASK31 = np.uint64((1 << 31) - 1)
+
+
+def _mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact (x * y) mod 2^61-1 in pure uint64 numpy (no Python bigints).
+
+    Operands < 2^61. Split both into 30/31-bit halves so every partial
+    product fits in uint64, then fold with 2^61 ≡ 1 (mod M):
+      x*y = xH·yH·2^62 + (xH·yL + xL·yH)·2^31 + xL·yL
+    """
+    xH, xL = x >> np.uint64(31), x & _MASK31          # < 2^30, < 2^31
+    yH, yL = y >> np.uint64(31), y & _MASK31
+    t1 = xH * yH                                      # < 2^60
+    t2 = xH * yL + xL * yH                            # < 2^62
+    t3 = xL * yL                                      # < 2^62
+    r1 = t1 << np.uint64(1)                           # 2^62 ≡ 2 (mod M)
+    t2m = (t2 >> np.uint64(61)) + (t2 & _M61)
+    t2m = (t2m >> np.uint64(61)) + (t2m & _M61)       # now < 2^61
+    # t2m·2^31 = (t2m>>30)·2^61 + (t2m & MASK30)·2^31 ≡ rotate
+    r2 = ((t2m & _MASK30) << np.uint64(31)) + (t2m >> np.uint64(30))
+    r3 = (t3 >> np.uint64(61)) + (t3 & _M61)
+    s = r1 + r2 + r3                                  # < 2^63, no overflow
+    s = (s >> np.uint64(61)) + (s & _M61)
+    s = (s >> np.uint64(61)) + (s & _M61)
+    return np.where(s >= _M61, s - _M61, s)
+
+
+def _permute61(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*h + b) mod 2^61-1 for hs (n,) × params (k,) → (n, k) uint64."""
+    p = _mulmod61(hs[:, None], a[None, :]) + b[None, :]
+    p = (p >> np.uint64(61)) + (p & _M61)
+    return np.where(p >= _M61, p - _M61, p)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, k: int = 3, seed: int = 42,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<LONG>) — numpy kernel over Arrow batches.
 
-    Shingle hashing uses Python's stable hash of the shingle bytes via
-    blake2b-to-int64 (deterministic across executors), then n_hashes
-    universal-hash permutations (a*h+b mod 2^61-1), column-wise min.
+    Shingle hashing uses blake2b-to-int64 of the shingle bytes
+    (deterministic across executors), then n_hashes universal-hash
+    permutations (a*h+b mod 2^61-1) in exact uint64 arithmetic — the
+    whole Arrow batch's shingles are permuted in ONE (ΣN, n_hashes)
+    vectorized pass with a per-doc segmented min (minimum.reduceat).
     """
     import hashlib
 
     a_params, b_params = _minhash_params(n_hashes, seed)
+    a64 = a_params.astype(np.uint64)
+    b64 = b_params.astype(np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(text: pd.Series) -> pd.Series:
-        out = []
+        per_doc: list[np.ndarray | None] = []
+        flat: list[int] = []
         for t in text:
             words = (t or "").lower().split()
             if len(words) < k:
@@ -121,16 +169,27 @@ def minhash_signatures(
             else:
                 shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
             if not shingles:
-                out.append([0] * n_hashes)
+                per_doc.append(None)
                 continue
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") % MERSENNE61
-                 for s in shingles),
-                dtype=np.int64, count=len(shingles),
+            start = len(flat)
+            flat.extend(
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") % MERSENNE61
+                for s in shingles
             )
-            # (n_shingles, n_hashes) permuted values, min over shingles
-            perm = (hs[:, None].astype(object) * a_params[None, :] + b_params[None, :]) % MERSENNE61
-            out.append(perm.min(axis=0).astype(np.int64).tolist())
+            per_doc.append(np.arange(start, len(flat)))
+        if flat:
+            hs = np.asarray(flat, dtype=np.uint64)
+            perm = _permute61(hs, a64, b64)           # (ΣN, n_hashes)
+            offsets = [idx[0] for idx in per_doc if idx is not None]
+            mins = np.minimum.reduceat(perm, np.asarray(offsets, dtype=np.intp), axis=0)
+        zeros = [0] * n_hashes
+        out, mi = [], 0
+        for idx in per_doc:
+            if idx is None:
+                out.append(zeros)
+            else:
+                out.append(mins[mi].astype(np.int64).tolist())
+                mi += 1
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
@@ -177,18 +236,33 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------------ SimHash
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens: per-token xxhash64, sign-sum per
-    bit, pack. Pure built-ins: explode → bit ops → groupBy-sum → pack."""
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              token_hash: str = "xxh64") -> DataFrame:
+    """SimHash over word tokens: per-token hash, sign-sum per bit, pack.
+    Pure built-ins: explode → bit ops → groupBy-sum → pack.
+
+    token_hash:
+      - "xxh64" (default): 64-bit xxhash64 tokens — the fast path.
+      - "md5_60": top 60 bits of md5(token) parsed as hex — slightly
+        slower but EXACTLY reproducible in ANSI-SQL engines (DuckDB has
+        md5 but not xxhash64), used by the driver oracle twin.
+    """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    if token_hash == "md5_60":
+        hashed = toks.withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+        n_bits = 60
+    else:
+        hashed = toks.withColumn("h", F.xxhash64("tok"))
+        n_bits = 64
     bits = hashed.select(
         "doc_id",
         F.posexplode(
-            F.expr("transform(sequence(0, 63), i -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)")
+            F.expr(f"transform(sequence(0, {n_bits - 1}),"
+                   " i -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)")
         ).alias("bit", "sign"),
     )
     return (
@@ -200,16 +274,32 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidate-
-    generated by 4×16-bit block buckets (pigeonhole: ≤3 differing blocks
-    guarantees one equal block for hamming ≤ 16)."""
+    generated by (max_hamming + 1) block buckets over the 64 bits.
+
+    Pigeonhole: ≤ max_hamming differing bits spread over max_hamming + 1
+    disjoint blocks leave at least one block untouched, so every true
+    pair shares a (block, block_val) bucket — NO recall loss at the
+    configured radius. Block widths shrink as the radius grows (64 /
+    (r+1) bits), so buckets get hotter; radii above 7 (blocks narrower
+    than 8 bits) are rejected — use MinHash-LSH for looser matching.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("simhash_pairs supports max_hamming in [0, 7]; "
+                         "wider radii need a different candidate scheme")
+    n_blocks = max_hamming + 1
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    block_exprs = [
+        F.expr(f"(simhash >> {o}) & {(1 << w) - 1}")
+        for o, w in zip(offs, widths)
+    ]
     sh = simhash64(df, text_col, id_col).persist()
     blocks = sh.select(
         "doc_id", "simhash",
-        F.posexplode(
-            F.expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")
-        ).alias("block", "block_val"),
+        F.posexplode(F.array(*block_exprs)).alias("block", "block_val"),
     )
     cand = (
         blocks.alias("x").join(blocks.alias("y"), on=["block", "block_val"])

@@ -24,12 +24,17 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 DELTA_TABLES = ("seen", "documents", "metrics", "frontier_log")
+
+# committed manifests ONLY — a crash between tmp write and os.replace
+# leaves a (possibly truncated) vNNNNN.json.tmp that must never be read
+_MANIFEST_RE = re.compile(r"v\d{5}\.json")
 
 
 @dataclass
@@ -61,21 +66,23 @@ class SnapshotStore:
         os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
 
     # -- manifest protocol --------------------------------------------------
-    def latest(self) -> Manifest | None:
+    def _versions(self) -> list[str]:
         mdir = os.path.join(self.root, "manifest")
-        versions = sorted(f for f in os.listdir(mdir) if f.startswith("v"))
+        return sorted(f for f in os.listdir(mdir) if _MANIFEST_RE.fullmatch(f))
+
+    def latest(self) -> Manifest | None:
+        versions = self._versions()
         if not versions:
             return None
-        with open(os.path.join(mdir, versions[-1])) as fh:
+        with open(os.path.join(self.root, "manifest", versions[-1])) as fh:
             return Manifest.from_json(fh.read())
 
     def all_manifests(self) -> list["Manifest"]:
         mdir = os.path.join(self.root, "manifest")
         out = []
-        for f in sorted(os.listdir(mdir)):
-            if f.startswith("v"):
-                with open(os.path.join(mdir, f)) as fh:
-                    out.append(Manifest.from_json(fh.read()))
+        for f in self._versions():
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(Manifest.from_json(fh.read()))
         return out
 
     def manifest_at(self, iteration: int) -> Manifest | None:
@@ -94,10 +101,12 @@ class SnapshotStore:
         os.replace(tmp, path)
 
     def rollback_to(self, iteration: int) -> None:
-        """Drop manifests newer than ``iteration`` (snapshot rollback)."""
+        """Drop manifests newer than ``iteration`` (snapshot rollback);
+        also clears any orphaned .tmp from an interrupted commit."""
         mdir = os.path.join(self.root, "manifest")
         for f in os.listdir(mdir):
-            if f.startswith("v") and int(f[1:6]) > iteration:
+            if f.endswith(".tmp") or (
+                    _MANIFEST_RE.fullmatch(f) and int(f[1:6]) > iteration):
                 os.remove(os.path.join(mdir, f))
 
     # -- data files ----------------------------------------------------------

@@ -210,9 +210,10 @@ class CrawlEngine:
     # ------------------------------------------------------------------ wave
     def _wave(self, m: Manifest) -> Manifest:
         """One frontier wave. Job budget per wave (the fixed overhead that
-        must stay small relative to row work): 1 stats collect,
-        1 extraction materialization, 4 PARALLEL table writes, 1 footer
-        count, 1 metrics write. Everything else is plan construction."""
+        must stay small relative to row work): 1 stats collect, then
+        frontier_log ∥ documents (2 concurrent write jobs), then the
+        pending write (carries its counts via observe()). Metrics ride
+        in the manifest commit. Everything else is plan construction."""
         import os
         spark, cfg, i = self.spark, self.cfg, m.iter + 1
         t0 = time.monotonic()
@@ -348,6 +349,12 @@ class CrawlEngine:
             carried = budget_carry
 
         ok = fetch.filter(F.col("fetch_ok"))
+        if due_n < 4000:
+            # ramp-up waves: the wave inherited the pages-scan partitioning
+            # (dozens of splits) — running every downstream Arrow-UDF stage
+            # as 30+ near-empty tasks is pure scheduling overhead. Narrow
+            # coalesce (no shuffle) right-sizes the task count.
+            ok = ok.coalesce(max(1, due_n // 500 + 1))
 
         # T1/T2 extraction — ONE parse per page (UDF), selector scoping
         # F5/F6; materialized now so the four table writes below can run
@@ -400,7 +407,8 @@ class CrawlEngine:
             else:
                 img_sketch = merged_sketch(
                     extracted.select(F.xxhash64("image_id").alias("ih")), "ih",
-                    BloomFilter.sized_for(pending_n, cfg.bloom_bits_per_key).n_bits,
+                    BloomFilter.sized_for(max(ok_n, 1024),
+                                          cfg.bloom_bits_per_key).n_bits,
                 )
                 img_matched = split_by_sketch(
                     self.images.withColumn("ih", F.xxhash64("image_id")),
@@ -541,10 +549,21 @@ class CrawlEngine:
         )
         # three writes per wave: frontier_log (lineage + seen projection),
         # documents, pending'. Metrics ride in the manifest commit.
-        log_path = self.store.write_delta(frontier_log, "frontier_log", i)
-        _mark("log_write")
-        doc_path = self.store.write_delta(docs_out, "documents", i)
-        _mark("docs_write")
+        # frontier_log and documents are INDEPENDENT jobs (log reads the
+        # materialized `fetch` cache, docs materializes the `extracted`
+        # cache) — submit them concurrently; Spark schedules both job DAGs
+        # at once, so the log write's tasks fill cores while the docs
+        # write's UDF stages ramp. The pending write stays AFTER docs:
+        # it re-reads `extracted`, whose cache the docs write populates.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            log_f = pool.submit(self.store.write_delta, frontier_log,
+                                "frontier_log", i)
+            doc_f = pool.submit(self.store.write_delta, docs_out,
+                                "documents", i)
+            log_path = log_f.result()
+            doc_path = doc_f.result()
+        _mark("log_docs_write")
         # pending counts ride the write job via observe() — no extra action
         from pyspark.sql import Observation
         obs = Observation(f"pending_{i}")
@@ -568,14 +587,27 @@ class CrawlEngine:
         ] + [[i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms]]
 
         log_paths = list(m.deltas.get("frontier_log", [])) + [log_path]
-        if len(log_paths) >= cfg.log_compaction_files:
-            # Iceberg-style compaction: rewrite the accumulated deltas as
-            # one file set; old files stay on disk so earlier manifests
-            # (snapshot rollback) remain readable
-            compact = self.store.delta_path("frontier_log", i).replace(
+        # INCREMENTAL compaction (LSM-style, 2 levels): only the tail of
+        # uncompacted delta files is merged into a new segment — earlier
+        # segments are never re-read, so per-wave compaction I/O is
+        # bounded by the recent-delta volume (flat over crawl length, not
+        # the O(total²/K) of rewrite-everything). When segments themselves
+        # accumulate to K, one L2 merge folds them (amortized O(total·L)).
+        # Old files stay on disk so earlier manifests (snapshot rollback)
+        # remain readable.
+        segments = [p for p in log_paths if "compact_" in os.path.basename(p)]
+        delta_tail = [p for p in log_paths if p not in segments]
+        if len(delta_tail) >= cfg.log_compaction_files:
+            seg = self.store.delta_path("frontier_log", i).replace(
                 "delta_", "compact_")
-            spark.read.parquet(*log_paths).write.mode("overwrite").parquet(compact)
-            log_paths = [compact]
+            spark.read.parquet(*delta_tail).write.mode("overwrite").parquet(seg)
+            segments, delta_tail = segments + [seg], []
+            if len(segments) >= cfg.log_compaction_files:
+                l2 = self.store.delta_path("frontier_log", i).replace(
+                    "delta_", "compact2_")
+                spark.read.parquet(*segments).write.mode("overwrite").parquet(l2)
+                segments = [l2]
+            log_paths = segments + delta_tail
         deltas = {
             "documents": list(m.deltas.get("documents", [])) + [doc_path],
             "frontier_log": log_paths,

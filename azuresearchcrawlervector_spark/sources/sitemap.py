@@ -81,28 +81,35 @@ def discover_sitemap_urls(
     processed: set[str] = set()  # case-insensitive circular-ref dedup (J2)
     out: list[str] = []
 
-    def process(sm_url: str, depth: int):
+    def process(sm_url: str, depth: int) -> bool:
+        """→ True iff THIS document fetched AND parsed as a sitemap —
+        a malformed/invalid-format body must NOT stop the probe loop
+        (the reference continues to the next probe path on parse
+        failure, SitemapCrawler.cs:240-257)."""
         if depth > max_index_depth:
-            return
+            return False
         key = sm_url.lower()
         if key in processed:
-            return
+            return False
         processed.add(key)
         body = fetch(sm_url)
         if body is None:
-            return
+            return False
         parsed = parse_sitemap_xml(body)
         if parsed is None:
-            return
+            return False
         kind, locs = parsed
         for loc in locs:
-            resolved = sitemap_loc_normalize(sm_url, loc)
+            # <loc> resolves against the crawl ROOT, not the sub-sitemap
+            # URL — SitemapCrawler.ResolveUrl(rootUri, ...) semantics
+            resolved = sitemap_loc_normalize(root, loc)
             if resolved is None:
                 continue
             if kind == "sitemapindex":
                 process(resolved, depth + 1)
             else:
                 out.append(resolved)
+        return True
 
     for probe in SITEMAP_PROBE_PATHS:
         probe_url = canonicalize(root, probe)
@@ -118,11 +125,11 @@ def discover_sitemap_urls(
             resolved = sitemap_loc_normalize(root, target)
             if resolved is None:
                 continue
-            process(resolved, 0)
+            parsed_ok = process(resolved, 0)
         else:
-            process(probe_url, 0)
-        if out or processed:
-            return out  # first successful probe wins (SitemapCrawler.cs:259-261)
+            parsed_ok = process(probe_url, 0)
+        if parsed_ok:
+            return out  # first PARSED probe wins (SitemapCrawler.cs:259-261)
     return out
 
 

@@ -45,10 +45,16 @@ def build_pipeline(
 ) -> DataFrame:
     """fetched pages (stream) → documents (stream)."""
     embed = make_embed_udf(embedding_dim)
+    # dropDuplicatesWithinWatermark: plain dropDuplicates(['url']) would
+    # never evict its state (the event-time column isn't in the dedup
+    # keys), so the streaming seen-set grows without bound in continuous
+    # deployments. WithinWatermark bounds state retention to the
+    # watermark delay — replays inside the window dedupe, older replays
+    # fall back to the content-addressed-id dedupe-on-read in the sink.
     deduped = (
         stream_df
         .withWatermark("fetch_ts", watermark)
-        .dropDuplicates(["url"])                     # streaming seen-set
+        .dropDuplicatesWithinWatermark(["url"])      # streaming seen-set
         .filter(F.col("status") == 200)              # F3
     )
     extracted = with_extraction(deduped, "html", dom_selector)

@@ -71,3 +71,22 @@ def test_snapshot_rollback(spark, tmp_path):
                        validate_images=False).run(resume=True)
     assert _collect_state(spark, res2) == _collect_state(spark, res)
     assert res2.manifest.iter == last
+
+
+def test_truncated_tmp_manifest_ignored(tmp_path):
+    """A crash between tmp write and os.replace leaves a vNNNNN.json.tmp
+    that must be invisible to latest()/all_manifests() and cleaned by
+    rollback_to() — resume reads only COMMITTED manifests."""
+    from azuresearchcrawlervector_spark.plans.checkpoint import Manifest
+
+    store = SnapshotStore(str(tmp_path / "ck"))
+    store.commit(Manifest(iter=0, pending_path=None))
+    store.commit(Manifest(iter=1, pending_path=None))
+    mdir = tmp_path / "ck" / "manifest"
+    # truncated tmp that sorts AFTER the last committed manifest
+    (mdir / "v00002.json.tmp").write_text('{"iter": 2, "pend')
+    assert store.latest().iter == 1
+    assert [m.iter for m in store.all_manifests()] == [0, 1]
+    store.rollback_to(0)
+    assert store.latest().iter == 0
+    assert not list(mdir.glob("*.tmp"))

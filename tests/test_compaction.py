@@ -18,10 +18,39 @@ def test_compaction_preserves_results(spark, tmp_path):
     cfg2 = replace(cfg, log_compaction_files=10_000)
     res_n = CrawlEngine(spark, pages, cfg2, str(tmp_path / "b"),
                         validate_images=False).run()
-    assert len(res_c.manifest.deltas["frontier_log"]) <= 3
+    # 2-level incremental compaction bounds fan-in at < 2K files
+    # (up to K-1 segments + K-1 uncompacted deltas)
+    assert len(res_c.manifest.deltas["frontier_log"]) < 2 * 3
     assert len(res_n.manifest.deltas["frontier_log"]) == 8
     a = sorted((r["seq"], r["url"]) for r in res_c.documents(spark).collect())
     b = sorted((r["seq"], r["url"]) for r in res_n.documents(spark).collect())
     assert a == b
     assert {r["url"] for r in res_c.seen(spark).collect()} == \
         {r["url"] for r in res_n.seen(spark).collect()}
+
+
+def test_long_crawl_incremental_compaction(spark, tmp_path):
+    """30-wave crawl (a 35-page link chain → one URL per BFS wave):
+    per-wave compaction reads only the uncompacted delta tail, never the
+    whole history — file fan-in stays < 2K at EVERY manifest, early
+    segments are reused untouched (same path across manifests), and the
+    final tables are complete."""
+    from azuresearchcrawlervector_spark.sources.fixtures import hot_host_graph
+
+    g = hot_host_graph(n_hosts=1, n_urls=35, fanout=1)
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD, max_pages=30,
+                      max_depth=64, log_compaction_files=3)
+    eng = CrawlEngine(spark, pages_df(spark, g), cfg, str(tmp_path / "c"),
+                      validate_images=False, track_order=False)
+    res = eng.run()
+    manifests = [m for m in res.store.all_manifests() if m.iter > 0]
+    assert res.manifest.pages_fetched == 30
+    assert len(manifests) >= 30
+    for m in manifests:
+        assert len(m.deltas["frontier_log"]) < 2 * 3, m.iter
+    # an L1 segment written early survives verbatim in later manifests
+    # until (at most) one L2 fold — i.e. old data is not rewritten per wave
+    segs = [p for p in manifests[-1].deltas["frontier_log"] if "compact" in p]
+    assert segs, "compaction never triggered"
+    log = res.frontier_log(spark)
+    assert log.filter("state = 'fetched'").count() == 30

@@ -67,6 +67,23 @@ def test_minhash_lsh_finds_dups(spark):
     assert (4, 5) not in keys
 
 
+def test_minhash_mulmod_kernel_parity():
+    """The uint64 split-operand mulmod kernel must agree bit-for-bit with
+    arbitrary-precision (a*h + b) mod 2^61-1, including edge operands."""
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        MERSENNE61, _minhash_params, _permute61,
+    )
+    a, b = _minhash_params(64)
+    rng = np.random.default_rng(7)
+    hs = rng.integers(0, MERSENNE61, size=4096, dtype=np.int64)
+    edge = np.array([0, 1, MERSENNE61 - 1, MERSENNE61 - 2,
+                     (1 << 31) - 1, 1 << 31, 1 << 60], dtype=np.int64)
+    hs = np.concatenate([hs, edge])
+    ref = (hs[:, None].astype(object) * a[None, :] + b[None, :]) % MERSENNE61
+    got = _permute61(hs.astype(np.uint64), a.astype(np.uint64), b.astype(np.uint64))
+    assert (ref == got.astype(object)).all()
+
+
 def test_minhash_estimates_track_true_jaccard(spark):
     sig = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs(spark)).collect()}
     est_12 = np.mean([a == b for a, b in zip(sig[1], sig[2])])
@@ -82,8 +99,10 @@ def test_simhash(spark):
     h14 = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
     assert h13 < h14
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-             simhash_pairs(dup_docs(spark), max_hamming=16).collect()}
+             simhash_pairs(dup_docs(spark), max_hamming=7).collect()}
     assert pairs[(1, 2)] == 0
+    with pytest.raises(ValueError):
+        simhash_pairs(dup_docs(spark), max_hamming=16)
 
 
 def test_embedding_neardup(spark):

@@ -116,3 +116,24 @@ def test_sitemap_mode_maxpages(spark, tmp_ckpt):
                             sitemap_bodies=bodies, validate_images=False)
     sim = simulate(g, cfg)
     assert res.documents(spark).count() == 2 == len(sim.documents)
+
+
+def test_malformed_probe_does_not_stop_loop():
+    # /sitemap.xml fetches but is garbage → the probe loop must continue
+    # to /sitemap_index.xml (reference continues on parse failure)
+    bodies = {
+        f"{ROOT}/sitemap.xml": "<html>not a sitemap</html>",
+        f"{ROOT}/sitemap_index.xml": make_sitemapindex([f"{ROOT}/sm1.xml"]),
+        f"{ROOT}/sm1.xml": make_urlset([f"{ROOT}/p1"]),
+    }
+    assert discover_sitemap_urls(ROOT, fetcher(bodies)) == [f"{ROOT}/p1"]
+
+
+def test_relative_loc_resolves_against_root():
+    # relative <loc> in a SUB-sitemap resolves against the crawl root,
+    # not the sub-sitemap URL (SitemapCrawler.ResolveUrl(rootUri, ...))
+    bodies = {
+        f"{ROOT}/sitemap.xml": make_sitemapindex([f"{ROOT}/deep/nested/sm.xml"]),
+        f"{ROOT}/deep/nested/sm.xml": make_urlset(["/page.html"]),
+    }
+    assert discover_sitemap_urls(ROOT, fetcher(bodies)) == [f"{ROOT}/page.html"]
