@@ -50,19 +50,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--saltPartitions", type=int, default=8)
     p.add_argument("--retryMaxAttempts", type=int, default=0)
     p.add_argument("--noPoliteness", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="unlock VERBOSE/DEBUG console lines (S11 verbose "
+                        "gate, SystemConsoleAdapter.cs:28-38)")
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, console=None) -> int:
+    from .core.console import Console
+
     args = build_parser().parse_args(argv)
+    console = console or Console(verbose=args.verbose)
+    console.set_verbose(args.verbose)
     if not args.rootUri and not args.sitesFile:
-        print("error: one of --rootUri / --sitesFile is required", file=sys.stderr)
+        console.write_error("error: one of --rootUri / --sitesFile is required")
         return 2
     if args.rootUri and canonicalize(None, args.rootUri) is None:
-        print(f"error: invalid rootUri {args.rootUri!r}", file=sys.stderr)
+        console.write_error(f"error: invalid rootUri {args.rootUri!r}")
         return 2
     if args.maxPages <= 0 or args.maxDepth < 0:
-        print("error: maxPages must be > 0 and maxDepth >= 0", file=sys.stderr)
+        console.write_error("error: maxPages must be > 0 and maxDepth >= 0")
         return 2
 
     from .plans.crawl import CrawlEngine, run_sites
@@ -97,11 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         engine = CrawlEngine(
             spark, pages, cfg, args.checkpointDir, images=images, robots=robots,
-            dry_run=args.dryRun,
+            dry_run=args.dryRun, console=console,
         )
         res = engine.run(resume=args.resume)
         fetched = res.manifest.pages_fetched
-    print(f"crawl finished: {fetched} pages fetched")
+    console.write_info_line(f"crawl finished: {fetched} pages fetched")
     return 0
 
 

@@ -16,8 +16,13 @@ Reproduces the reference's extraction semantics:
   fall inside a DOM-selector scope. The reference scopes headless
   extraction with ``"{sel} a[href]"`` (``HeadlessBrowserCrawler.cs:177-181``)
   and filters Abot-scheduled links by selector containment
-  (``AbotCrawler.cs:68-88``). Selector support covers the subset the
-  reference's fixtures use: ``tag``, ``.class``, ``tag.class``.
+  (``AbotCrawler.cs:68-88``). The selector engine covers the CSS subset
+  the reference's own suites exercise (AngleSharp/Playwright
+  QuerySelectorAll): compound selectors ``tag#id.a.b[attr*=v]``,
+  attribute operators ``= *= ^= $= ~= |=`` and bare presence,
+  descendant and child (``>``) combinators, and comma-separated lists —
+  including the integration suite's ``div[class*="blog-teaser"]``
+  (``TestWebsiteIntegrationTests.cs:306``).
 """
 
 from __future__ import annotations
@@ -35,30 +40,126 @@ _CRLF_RE = re.compile(r"[\r\n]+")
 _SPACETAB_RE = re.compile(r"[ \t]+")
 
 
-def _selector_parts(selector: str | None) -> tuple[str | None, str | None]:
-    """Parse ``tag``, ``.class`` or ``tag.class`` → (tag, cls)."""
+# --------------------------------------------------------- CSS selectors
+class _Simple:
+    """One compound selector: tag + #ids + .classes + [attr op value]s."""
+
+    __slots__ = ("tag", "ids", "classes", "attrs")
+
+    def __init__(self, tag, ids, classes, attrs):
+        self.tag = tag          # str | None ('*' → None)
+        self.ids = ids          # list[str]
+        self.classes = classes  # list[str]
+        self.attrs = attrs      # list[(name, op|None, value|None)]
+
+    def matches(self, tag: str, attrs: dict[str, str | None]) -> bool:
+        if self.tag is not None and tag != self.tag:
+            return False
+        if self.ids and any(attrs.get("id") != i for i in self.ids):
+            return False
+        if self.classes:
+            classes = (attrs.get("class") or "").split()
+            if any(c not in classes for c in self.classes):
+                return False
+        for name, op, val in self.attrs:
+            if name not in attrs:
+                return False
+            if op is None:
+                continue
+            a = attrs.get(name) or ""
+            if op == "=" and a != val:
+                return False
+            if op == "*=" and val not in a:
+                return False
+            if op == "^=" and not a.startswith(val):
+                return False
+            if op == "$=" and not a.endswith(val):
+                return False
+            if op == "~=" and val not in a.split():
+                return False
+            if op == "|=" and not (a == val or a.startswith(val + "-")):
+                return False
+        return True
+
+
+_QUAL_RE = re.compile(r"#([\w-]+)|\.([\w-]+)|\[([^\]]+)\]")
+_ATTR_RE = re.compile(r"^\s*([\w-]+)\s*(?:([*^$~|]?=)\s*(.*?)\s*)?$")
+_COMPOUND_RE = re.compile(r"^([a-zA-Z][\w-]*|\*)?((?:#[\w-]+|\.[\w-]+|\[[^\]]*\])*)$")
+
+
+def _parse_compound(text: str) -> _Simple | None:
+    m = _COMPOUND_RE.match(text)
+    if not m or (not m.group(1) and not m.group(2)):
+        return None
+    tag = m.group(1)
+    tag = None if tag in (None, "*") else tag.lower()
+    ids, classes, attrs = [], [], []
+    for qm in _QUAL_RE.finditer(m.group(2) or ""):
+        if qm.group(1):
+            ids.append(qm.group(1))
+        elif qm.group(2):
+            classes.append(qm.group(2))
+        else:
+            am = _ATTR_RE.match(qm.group(3))
+            if am is None:
+                return None
+            name, op, val = am.group(1).lower(), am.group(2), am.group(3)
+            if val is not None and len(val) >= 2 and val[0] in "'\"" and val[-1] == val[0]:
+                val = val[1:-1]
+            attrs.append((name, op, val))
+    return _Simple(tag, ids, classes, attrs)
+
+
+def parse_selector(selector: str | None) -> list[list[tuple[str, _Simple]]] | None:
+    """CSS selector list → chains of (combinator, compound); combinator
+    is ' ' (descendant) or '>' (child); the first compound's combinator
+    is ' '. Returns None for an empty selector (no scoping). Raises
+    ValueError on syntax outside the supported subset — a selector that
+    silently matched everything (or nothing) would corrupt a crawl's
+    link discovery without a trace."""
     if not selector or not selector.strip():
-        return None, None
-    sel = selector.strip()
-    if "." in sel:
-        tag, _, cls = sel.partition(".")
-        return (tag.lower() or None), (cls or None)
-    return sel.lower(), None
+        return None
+    chains = []
+    for part in selector.split(","):
+        part = part.strip()
+        if not part:
+            raise ValueError(f"empty selector in list: {selector!r}")
+        toks = re.split(r"\s*(>)\s*|\s+", part)
+        chain: list[tuple[str, _Simple]] = []
+        comb = " "
+        for tok in toks:
+            if tok is None or tok == "":
+                continue
+            if tok == ">":
+                comb = ">"
+                continue
+            simple = _parse_compound(tok)
+            if simple is None:
+                raise ValueError(f"unsupported CSS selector: {part!r}")
+            chain.append((comb, simple))
+            comb = " "
+        if not chain:
+            raise ValueError(f"unsupported CSS selector: {part!r}")
+        chains.append(chain)
+    return chains
 
 
 class _Extractor(HTMLParser):
-    def __init__(self, sel_tag: str | None, sel_cls: str | None):
+    def __init__(self, chains: list[list[tuple[str, _Simple]]] | None):
         super().__init__(convert_charrefs=False)
-        self.sel_tag = sel_tag
-        self.sel_cls = sel_cls
-        self.has_selector = sel_tag is not None or sel_cls is not None
+        self.chains = chains
+        self.has_selector = chains is not None
         self.title: str | None = None
         self._title_depth = 0
         self._title_buf: list[str] = []
         self._skip_depth = 0
         self._in_body = 0
         self._sel_depth = 0          # >0 while inside a selector-matched subtree
-        self._stack: list[tuple[str, bool, bool]] = []  # (tag, was_skip, was_sel)
+        # ancestor prefix-match counts: (chain_idx, prefix_idx) → #open
+        # elements completing that selector prefix
+        self._prefix: dict[tuple[int, int], int] = {}
+        # stack: (tag, was_skip, completed prefixes, fully_matched)
+        self._stack: list[tuple[str, bool, list[tuple[int, int]], bool]] = []
         self.text_chunks: list[str] = []
         self._pending_text: list[str] = []  # contiguous data+entities = ONE text node
         self.links: list[tuple[str, int, bool]] = []  # (href, link_pos, in_selector)
@@ -74,16 +175,26 @@ class _Extractor(HTMLParser):
             if chunk:
                 self.text_chunks.append(chunk)
 
-    def _matches_selector(self, tag: str, attrs: dict[str, str | None]) -> bool:
-        if not self.has_selector:
-            return False
-        if self.sel_tag is not None and tag != self.sel_tag:
-            return False
-        if self.sel_cls is not None:
-            classes = (attrs.get("class") or "").split()
-            if self.sel_cls not in classes:
-                return False
-        return True
+    def _match_chains(self, tag, attrs_d, parent_completed):
+        """→ (completed prefixes, any chain fully matched). A prefix i
+        completes on this element when the element matches compound i and
+        the combinator's context holds: descendant → some open ancestor
+        completed prefix i-1; child → the immediate parent did."""
+        completed: list[tuple[int, int]] = []
+        full = False
+        for ci, chain in enumerate(self.chains):
+            for i, (comb, simple) in enumerate(chain):
+                if i > 0:
+                    if comb == ">":
+                        if (ci, i - 1) not in parent_completed:
+                            continue
+                    elif self._prefix.get((ci, i - 1), 0) <= 0:
+                        continue
+                if simple.matches(tag, attrs_d):
+                    completed.append((ci, i))
+                    if i == len(chain) - 1:
+                        full = True
+        return completed, full
 
     def handle_starttag(self, tag, attrs):
         self._flush_text()
@@ -91,8 +202,14 @@ class _Extractor(HTMLParser):
         if tag in _VOID_TAGS:
             return
         is_skip = tag in _SKIP_TAGS
-        is_sel = self._matches_selector(tag, attrs_d)
-        self._stack.append((tag, is_skip, is_sel))
+        completed: list[tuple[int, int]] = []
+        is_sel = False
+        if self.has_selector:
+            parent_completed = self._stack[-1][2] if self._stack else []
+            completed, is_sel = self._match_chains(tag, attrs_d, parent_completed)
+            for key in completed:
+                self._prefix[key] = self._prefix.get(key, 0) + 1
+        self._stack.append((tag, is_skip, completed, is_sel))
         if is_skip:
             self._skip_depth += 1
         if is_sel:
@@ -111,13 +228,15 @@ class _Extractor(HTMLParser):
         self._flush_text()
         # pop back to the matching open tag, tolerating malformed nesting
         for i in range(len(self._stack) - 1, -1, -1):
-            t, was_skip, was_sel = self._stack[i]
+            t, _was_skip, _c, _sel = self._stack[i]
             if t == tag:
-                for _t, s, sel in self._stack[i:]:
+                for _t, s, comp, sel in self._stack[i:]:
                     if s:
                         self._skip_depth -= 1
                     if sel:
                         self._sel_depth -= 1
+                    for key in comp:
+                        self._prefix[key] -= 1
                 del self._stack[i:]
                 break
         if tag == "title" and self._title_depth > 0:
@@ -156,8 +275,7 @@ def extract_page(
     """
     if html is None:
         return "", "", []
-    sel_tag, sel_cls = _selector_parts(selector)
-    p = _Extractor(sel_tag, sel_cls)
+    p = _Extractor(parse_selector(selector))
     try:
         p.feed(html)
         p.close()

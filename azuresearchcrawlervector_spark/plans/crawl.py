@@ -146,8 +146,16 @@ class CrawlEngine:
         seed_pending: DataFrame | None = None,
         dry_run: bool = False,
         extractor=None,
+        console=None,
     ):
         self.spark = spark
+        # S5 rendered-DOM fidelity: HEADLESS crawls the post-JS DOM
+        # (HeadlessBrowserCrawler.cs:127-150) — when the pages table
+        # carries an html_rendered column, headless fetches it (NULL →
+        # fall back to static html); STANDARD always fetches static html.
+        if cfg.mode == CrawlMode.HEADLESS and "html_rendered" in pages.columns:
+            pages = pages.withColumn(
+                "html", F.coalesce("html_rendered", "html"))
         self.pages = pages
         self.images = images
         self.robots = robots
@@ -166,6 +174,10 @@ class CrawlEngine:
         # -> df+title/content/links function to swap extraction
         self.extractor = extractor or with_extraction
         self._embed = make_dual_embed_udf(cfg.embedding_dim)
+        # S11 leveled console (driver-side; executors report via the
+        # metrics table). Quiet INFORMATION-level by default.
+        from ..core.console import Console
+        self.console = console if console is not None else Console()
 
     # ------------------------------------------------------------------ seed
     def _seed_pending(self) -> DataFrame:
@@ -199,10 +211,17 @@ class CrawlEngine:
 
         timeout_s = self.cfg.crawl_timeout_s or max(600, self.cfg.max_pages * 10)
         wall_guard = time.monotonic() + timeout_s  # P5 analog (AbotCrawler.cs:165)
+        self.console.write_debug_line(
+            f"crawl start: seeds={len(self.seeds)} mode={self.cfg.mode.value}"
+            f" maxPages={self.cfg.max_pages} maxDepth={self.cfg.max_depth}"
+            f" resume_iter={m.iter}")
         while m.iter < self.max_iters and time.monotonic() < wall_guard:
             m = self._wave(m)
             if m.finished:
                 break
+        self.console.write_debug_line(
+            f"crawl end: iter={m.iter} fetched={m.pages_fetched}"
+            f" docs={m.docs_emitted} finished={m.finished}")
         # NOTE: stopping on max_iters / wall-clock leaves finished=False —
         # exactly the state a kill leaves, so run(resume=True) continues.
         return CrawlResult(self.store, m, self.cfg.seen_on_effective)
@@ -321,24 +340,13 @@ class CrawlEngine:
             fetch = fetch.repartition(spark.sparkContext.defaultParallelism)
         fetch = fetch.persist()
         to_unpersist.append(fetch)
-
-        # ONE action yields due_n, ok_n AND the per-partition lineage rows
-        part_rows = (
-            fetch.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.sum(F.col("fetch_ok").cast("long")).alias("fetched"),
-                F.sum((~F.col("fetch_ok")).cast("long")).alias("failed"),
-            ).collect()
-        )
-        _mark("stats_collect")
-        ok_n = int(sum(r["fetched"] or 0 for r in part_rows))
-        due_n = int(ok_n + sum(r["failed"] or 0 for r in part_rows))
-        if due_n == 0:
-            m.finished = True
-            self.store.commit(m)
-            for df in to_unpersist:
-                df.unpersist()
-            return m
+        # NO upfront stats action: the wave's counts (due/ok, per
+        # partition) ride the frontier_log write — partition_id is a
+        # lineage COLUMN, and a sub-second readback of the slim log file
+        # replaces what used to be a full materialization job. The
+        # finished check (due == 0) therefore happens after the writes;
+        # the empty final wave leaves two empty orphan files, exactly
+        # what a crash would (and the manifest never references them).
 
         if capped:
             # fetch (cached) carries exactly the due url_hashes
@@ -349,17 +357,32 @@ class CrawlEngine:
             carried = budget_carry
 
         ok = fetch.filter(F.col("fetch_ok"))
-        if due_n < 4000:
+        if pending_n < 4000:
             # ramp-up waves: the wave inherited the pages-scan partitioning
             # (dozens of splits) — running every downstream Arrow-UDF stage
             # as 30+ near-empty tasks is pure scheduling overhead. Narrow
-            # coalesce (no shuffle) right-sizes the task count.
-            ok = ok.coalesce(max(1, due_n // 500 + 1))
+            # coalesce (no shuffle) right-sizes the task count. Gated on
+            # pending_n (known from the manifest — due ≤ pending) so no
+            # count action is needed before planning.
+            ok = ok.coalesce(max(1, pending_n // 500 + 1))
 
         # T1/T2 extraction — ONE parse per page (UDF), selector scoping
         # F5/F6; materialized now so the four table writes below can run
         # concurrently off the cache
+        if self.track_order:
+            # visit-order seq without a global sort: range-partition the
+            # wave by priority BEFORE extraction (sampling runs on the
+            # already-materialized fetch cache, not through the UDFs) so
+            # disjoint priority ranges land in ordered partitions; the
+            # narrow extraction below preserves partitioning + order.
+            npart = min(spark.sparkContext.defaultParallelism,
+                        max(1, pending_n // 500 + 1))
+            ok = ok.repartitionByRange(
+                npart, F.col("priority").asc()
+            ).sortWithinPartitions("priority")
         extracted = self.extractor(ok, "html", cfg.dom_selector)
+        if self.track_order:
+            extracted = extracted.withColumn("_pid", F.spark_partition_id())
         if not cfg.extract_text:
             # T3 raw-HTML mode: store <body> inner HTML, scripts kept
             from ..functions.html import raw_body_udf
@@ -370,13 +393,29 @@ class CrawlEngine:
         # cache once; the pending write reuses it (sequential writes)
         _mark("extract_mat")
 
-        # visit order (oracle contract): seq = emitted_so_far + rank(priority).
-        # Global window = fine at oracle scale; disabled for bench runs
-        # (track_order=False) where a global total order is the bottleneck.
+        # visit order (oracle contract): seq = emitted_so_far + rank(priority),
+        # computed WITHOUT a global single-partition sort: the wave is
+        # already range-partitioned by priority (cached, so partition
+        # assignment is frozen) → global rank = sum of earlier partitions'
+        # sizes + rank within the partition. One tiny extra action (the
+        # per-partition counts off the cache); every window below is
+        # partitioned, so no WindowExec single-partition warning.
         if self.track_order:
-            w_seq = Window.orderBy(F.col("priority").asc())
-            extracted_seq = extracted.withColumn(
-                "seq", F.row_number().over(w_seq) + F.lit(m.docs_emitted)
+            cnt_rows = extracted.groupBy("_pid").count().collect()
+            offs, acc = {}, 0
+            for pid, n in sorted((r["_pid"], r["count"]) for r in cnt_rows):
+                offs[pid] = acc
+                acc += n
+            off_df = spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offs.items()] or [(0, 0)],
+                "_pid int, _seq_off long")
+            w_seq = Window.partitionBy("_pid").orderBy(F.col("priority").asc())
+            extracted_seq = (
+                extracted.join(F.broadcast(off_df), "_pid", "left")
+                .withColumn("seq", (F.row_number().over(w_seq)
+                                    + F.coalesce("_seq_off", F.lit(0))
+                                    + F.lit(m.docs_emitted)).cast("int"))
+                .drop("_seq_off")
             )
         else:
             extracted_seq = extracted.withColumn("seq", F.lit(None).cast("int"))
@@ -407,7 +446,7 @@ class CrawlEngine:
             else:
                 img_sketch = merged_sketch(
                     extracted.select(F.xxhash64("image_id").alias("ih")), "ih",
-                    BloomFilter.sized_for(max(ok_n, 1024),
+                    BloomFilter.sized_for(max(pending_n, 1024),
                                           cfg.bloom_bits_per_key).n_bits,
                 )
                 img_matched = split_by_sketch(
@@ -546,6 +585,10 @@ class CrawlEngine:
             ).withColumn("iter", F.lit(i)).withColumn(
                 "state", F.when(F.col("fetch_ok"), "fetched").otherwise("failed")
             ).drop("fetch_ok")
+            # per-partition lineage column (north_rule): which task
+            # produced the row — also the source of the wave's
+            # per-partition metrics (readback below, no stats job)
+            .withColumn("partition_id", F.spark_partition_id())
         )
         # three writes per wave: frontier_log (lineage + seen projection),
         # documents, pending'. Metrics ride in the manifest commit.
@@ -564,6 +607,30 @@ class CrawlEngine:
             log_path = log_f.result()
             doc_path = doc_f.result()
         _mark("log_docs_write")
+
+        # wave stats from the written log (slim columns, sub-second read)
+        part_rows = (
+            spark.read.parquet(log_path)
+            .groupBy("partition_id")
+            .agg(
+                F.sum((F.col("state") == "fetched").cast("long")).alias("fetched"),
+                F.sum((F.col("state") != "fetched").cast("long")).alias("failed"),
+            ).collect()
+        )
+        ok_n = int(sum(r["fetched"] or 0 for r in part_rows))
+        due_n = int(ok_n + sum(r["failed"] or 0 for r in part_rows))
+        _mark("stats_readback")
+        if due_n == 0:
+            # politeness budgets can't starve forever (budget ≥ 1/host),
+            # so an empty wave means the frontier is exhausted: finish
+            # WITHOUT referencing this wave's (empty) files — same orphan
+            # state a crash would leave.
+            m.finished = True
+            self.store.commit(m)
+            for df in to_unpersist:
+                df.unpersist()
+            return m
+
         # pending counts ride the write job via observe() — no extra action
         from pyspark.sql import Observation
         obs = Observation(f"pending_{i}")
@@ -625,6 +692,11 @@ class CrawlEngine:
         )
         self.store.commit(m2)
         _mark("commit")
+        self.console.write_debug_line(
+            f"wave {i}: due={due_n} ok={ok_n} new_links={new_links_n}"
+            f" pending'={pending_next_n} wall_ms={wall_ms:.0f}")
+        self.console.write_verbose_line(
+            f"wave {i} phases: " + " ".join(f"{k}={v}" for k, v in _phases))
         if os.environ.get("SPARK_CRAWL_PHASE_TIMING"):
             print(f"PHASES iter={i} due={due_n} " +
                   " ".join(f"{k}={v}" for k, v in _phases), flush=True)

@@ -36,14 +36,17 @@ class SimResult:
     attempted: int = 0
 
 
-def _page_html(graph: SiteGraph, url: str) -> tuple[int, str] | None:
+def _page_html(graph: SiteGraph, url: str,
+               rendered: bool = False) -> tuple[int, str] | None:
+    """``rendered=True`` = the post-JS DOM (S5) — what headless mode
+    fetches; static HTML otherwise."""
     spec = graph.pages.get(url)
     if spec is None:
         return None
     cls = None
     if graph.selector and "." in graph.selector:
         cls = graph.selector.partition(".")[2]
-    return spec.status, render_html(spec, cls)
+    return spec.status, render_html(spec, cls, rendered=rendered)
 
 
 def _extract_links(graph: SiteGraph, url: str, html: str, cfg: CrawlConfig):
@@ -154,7 +157,7 @@ def simulate_headless(graph: SiteGraph, cfg: CrawlConfig) -> SimResult:
             return
         if url in seen:                    # :114-118
             return
-        page = _page_html(graph, url)
+        page = _page_html(graph, url, rendered=True)  # S5: post-JS DOM
         if page is None or page[0] != 200:  # :127-143 non-OK skip, retriable
             return
         seen.add(url)                      # :161 — only after successful fetch

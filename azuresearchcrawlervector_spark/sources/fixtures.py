@@ -23,6 +23,10 @@ class PageSpec:
     links: list[tuple[str, bool]]       # (href, in_selector_scope)
     status: int = 200
     image_id: str | None = None
+    # links present ONLY in the JS-rendered DOM (S5: the reference's
+    # headless mode crawls the rendered page, HeadlessBrowserCrawler.cs:
+    # 127-150 — a static fetch never sees these)
+    rendered_links: list[tuple[str, bool]] = field(default_factory=list)
 
 
 @dataclass
@@ -44,10 +48,13 @@ _NOISE = (
 )
 
 
-def render_html(spec: PageSpec, selector_cls: str | None = None) -> str:
+def render_html(spec: PageSpec, selector_cls: str | None = None,
+                rendered: bool = False) -> str:
     """Generate the page HTML: title, noise blocks, entity-encoded text,
     anchors in link order. Links flagged in_selector are wrapped in
-    <div class="{selector_cls}">."""
+    <div class="{selector_cls}">. ``rendered=True`` produces the
+    post-JS DOM: static links followed by the page's rendered_links
+    (what the reference's headless browser sees)."""
     parts = [
         "<html><head>",
         f"<title>{spec.title}</title>",
@@ -59,7 +66,8 @@ def render_html(spec: PageSpec, selector_cls: str | None = None) -> str:
     ]
     # document order MUST equal spec order (link_pos ground truth): each
     # selector-scoped link gets its own wrapping div
-    for h, s in spec.links:
+    links = spec.links + (spec.rendered_links if rendered else [])
+    for h, s in links:
         if selector_cls and s:
             parts.append(f'<div class="{selector_cls}"><a href="{h}">{h}</a></div>')
         else:
@@ -144,6 +152,23 @@ def test_website2() -> SiteGraph:
     _page(g, "/cases/ecommerce-giant.html", "Case: Ecommerce", "Big shop case", mesh)
     _page(g, "/cases/news-agency.html", "Case: News", "News agency case", mesh)
     _page(g, "/contact.html", "W2 Contact", "Reach us", mesh)
+    return g
+
+
+def rendered_spa_site() -> SiteGraph:
+    """SPA site whose navigation exists ONLY in the JS-rendered DOM:
+    the root's static HTML has no anchors; the rendered DOM links to
+    /app/alpha.html and /app/beta.html. Headless (rendered-DOM) crawling
+    discovers them; a static-HTML crawl sees only the root (S5)."""
+    g = SiteGraph(name="RenderedSpa", root="http://rspa.example.com")
+    url = g.root + "/"
+    g.add(PageSpec(url=url, title="RSPA Shell", body_text="app shell",
+                   links=[], image_id=image_id_for(url),
+                   rendered_links=[("/app/alpha.html", False),
+                                   ("/app/beta.html", False)]))
+    _page(g, "/app/alpha.html", "RSPA Alpha", "client route alpha",
+          [("/app/beta.html", False)])
+    _page(g, "/app/beta.html", "RSPA Beta", "client route beta", [])
     return g
 
 

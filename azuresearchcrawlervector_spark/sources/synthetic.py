@@ -32,6 +32,9 @@ PAGES_SCHEMA = StructType([
     StructField("host", StringType(), False),
     StructField("status", IntegerType(), False),
     StructField("html", StringType(), True),
+    # post-JS DOM (S5): equals html unless the page has rendered-only
+    # links; HEADLESS mode fetches this column, STANDARD fetches html
+    StructField("html_rendered", StringType(), True),
     StructField("links", ArrayType(StructType([
         StructField("href", StringType()),
         StructField("link_pos", IntegerType()),
@@ -71,10 +74,11 @@ def pages_rows(graph: SiteGraph) -> list[tuple]:
     cls = _selector_cls(graph.selector)
     for spec in graph.pages.values():
         html = render_html(spec, cls)
+        rendered = render_html(spec, cls, rendered=True)
         t, c = expected_extraction(spec)
         links = [(h, i, s) for i, (h, s) in enumerate(spec.links)]
-        rows.append((spec.url, host_of(spec.url), spec.status, html, links,
-                     spec.image_id, t, c))
+        rows.append((spec.url, host_of(spec.url), spec.status, html, rendered,
+                     links, spec.image_id, t, c))
     return rows
 
 
@@ -173,7 +177,12 @@ def bench_pages_df(spark: SparkSession, n_urls: int, n_hosts: int = 100,
             yield pd.DataFrame({
                 "url": urls, "host": hosts,
                 "status": np.full(len(urls), 200, dtype=np.int32),
-                "html": htmls, "links": links_col, "image_id": img_ids,
+                "html": htmls,
+                # no JS-only links in the bench web: NULL → the engine's
+                # coalesce(html_rendered, html) falls back to the static
+                # column without doubling the generated payload
+                "html_rendered": [None] * len(urls),
+                "links": links_col, "image_id": img_ids,
                 "exp_title": [None] * len(urls), "exp_content": [None] * len(urls),
             })
 

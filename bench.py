@@ -37,9 +37,51 @@ def time_query(fn, *args):
     return time.monotonic() - t0, n
 
 
-def crawl_bench(spark, n_urls: int, n_hosts: int) -> dict:
+def _run_crawl(spark, work, tag, pages_r, images_r, robots, n_hosts,
+               max_pages, iter_window_ms) -> dict:
     from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
     from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
+
+    cfg = CrawlConfig(
+        root_url="http://host0.bench.example.com/",
+        mode=CrawlMode.STANDARD,
+        max_pages=max_pages,
+        max_depth=64,
+        iter_window_ms=iter_window_ms,
+        salt_partitions=16,
+    )
+    seeds = [f"http://host{i}.bench.example.com/" for i in range(n_hosts)]
+    t0 = time.monotonic()
+    eng = CrawlEngine(
+        spark, pages_r, cfg, f"{work}/ckpt_{tag}", images=images_r,
+        robots=robots, seeds=seeds, track_order=False, validate_images=True,
+    )
+    res = eng.run()
+    crawl_s = time.monotonic() - t0
+    m = res.manifest
+    docs = res.documents(spark)
+    img_ok = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("img_ok").cast("long")).alias("ok"),
+    ).collect()[0]
+    return {
+        "crawl_sec": round(crawl_s, 2),
+        "iterations": m.iter,
+        "frontier_urls": m.pages_fetched,
+        "image_rows": img_ok["n"],
+        "image_rows_ok": int(img_ok["ok"] or 0),
+        "urls_per_sec": round(m.pages_fetched / crawl_s, 1),
+        "image_rows_per_sec": round(img_ok["n"] / crawl_s, 1),
+    }
+
+
+def crawl_bench(spark, n_urls: int, n_hosts: int) -> tuple[dict, dict]:
+    """→ (unbound crawl, politeness-BOUND crawl). The second run uses a
+    100 s window / 100 ms crawl-delay = 1000 URLs/host/wave, which BINDS
+    on the Zipf hot host (it holds far more than 1000 URLs/wave) —
+    demonstrating, not just configuring, the politeness semantics the
+    throughput claim is made under (budget carry-over forces extra
+    waves)."""
     from azuresearchcrawlervector_spark.sources.synthetic import (
         bench_images_df, bench_pages_df, robots_df,
     )
@@ -57,38 +99,14 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> dict:
         images_r = spark.read.parquet(f"{work}/images.parquet")
         robots = robots_df(spark, [f"host{i}.bench.example.com" for i in range(n_hosts)],
                            crawl_delay_ms=100)
-        cfg = CrawlConfig(
-            root_url="http://host0.bench.example.com/",
-            mode=CrawlMode.STANDARD,
-            max_pages=n_urls,
-            max_depth=64,
-            iter_window_ms=3_600_000,  # politeness exercised, not binding
-            salt_partitions=16,
-        )
-        seeds = [f"http://host{i}.bench.example.com/" for i in range(n_hosts)]
-        t0 = time.monotonic()
-        eng = CrawlEngine(
-            spark, pages_r, cfg, f"{work}/ckpt", images=images_r, robots=robots,
-            seeds=seeds, track_order=False, validate_images=True,
-        )
-        res = eng.run()
-        crawl_s = time.monotonic() - t0
-        m = res.manifest
-        docs = res.documents(spark)
-        img_ok = docs.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("img_ok").cast("long")).alias("ok"),
-        ).collect()[0]
-        return {
-            "datagen_sec": round(datagen_s, 2),
-            "crawl_sec": round(crawl_s, 2),
-            "iterations": m.iter,
-            "frontier_urls": m.pages_fetched,
-            "image_rows": img_ok["n"],
-            "image_rows_ok": int(img_ok["ok"] or 0),
-            "urls_per_sec": round(m.pages_fetched / crawl_s, 1),
-            "image_rows_per_sec": round(img_ok["n"] / crawl_s, 1),
-        }
+        main_run = _run_crawl(spark, work, "main", pages_r, images_r, robots,
+                              n_hosts, n_urls, iter_window_ms=3_600_000)
+        main_run["datagen_sec"] = round(datagen_s, 2)
+        bound_n = min(n_urls, 30_000)
+        bound_run = _run_crawl(spark, work, "bound", pages_r, images_r, robots,
+                               n_hosts, bound_n, iter_window_ms=100_000)
+        bound_run["budget_per_host_wave"] = 1000
+        return main_run, bound_run
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -117,10 +135,11 @@ def main():
         sec, _n = time_query(qs[name], spark, sf_dir)
         qtimes[name] = round(sec, 3)
 
-    crawl = {}
+    crawl, crawl_bound = {}, {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        crawl = crawl_bench(spark, n_urls, n_hosts)
+        crawl, crawl_bound = crawl_bench(spark, n_urls, n_hosts)
         qtimes["crawl_pipeline"] = crawl["crawl_sec"]
+        qtimes["crawl_politeness_bound"] = crawl_bound["crawl_sec"]
 
     total = round(sum(qtimes.values()), 3)
     sf = float(sf_dir.rstrip("/").rpartition("sf")[2] or 0.1)
@@ -131,6 +150,7 @@ def main():
         "queries": qtimes,
         "sf": sf,
         "crawl": crawl,
+        "crawl_politeness_bound": crawl_bound,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -77,3 +77,40 @@ def test_pluggable_extractor(spark, tmp_ckpt):
     res = CrawlEngine(spark, pages_df(spark, g), cfg, tmp_ckpt,
                       validate_images=False, extractor=shouting_extractor).run()
     assert res.documents(spark).collect()[0]["title"] == "HOME & WELCOME"
+
+
+# ------------------------------------------------------------- S11 console
+def test_console_levels_and_verbose_gate(capsys):
+    from azuresearchcrawlervector_spark.core.console import Console, LogLevel
+
+    c = Console(verbose=False)
+    c.write_info_line("info")
+    c.write_warning_line("warn")
+    c.write_debug_line("dbg")
+    c.write_verbose_line("vrb")
+    c.write_error("boom")
+    out, err = capsys.readouterr()
+    assert out == "info\nwarn\n"          # debug/verbose gated off
+    assert err == "boom\n"                # errors → stderr
+    c.set_verbose(True)
+    c.write_debug_line("dbg")
+    c.write_verbose_line("vrb")
+    out, _ = capsys.readouterr()
+    # SystemConsoleAdapter.cs:28-38 prefixes
+    assert out == "DEBUG: dbg\nVERBOSE: vrb\n"
+    assert LogLevel.VERBOSE < LogLevel.DEBUG < LogLevel.INFORMATION \
+        < LogLevel.WARNING < LogLevel.ERROR
+
+
+def test_cli_errors_via_console():
+    from azuresearchcrawlervector_spark.cli import main
+    from azuresearchcrawlervector_spark.core.console import (
+        CapturingConsole, LogLevel,
+    )
+
+    con = CapturingConsole()
+    rc = main(["--rootUri", "not a uri", "--pagesParquet", "x",
+               "--checkpointDir", "y"], console=con)
+    assert rc == 2
+    assert con.lines and con.lines[0][0] == LogLevel.ERROR
+    assert "invalid rootUri" in con.lines[0][1]

@@ -143,3 +143,35 @@ def test_metrics_lineage_rows(spark, tmp_ckpt):
     assert sum(m["fetched"] for m in glob) == 7
     log = res.frontier_log(spark)
     assert log.filter(F.col("state") == "fetched").count() == 7
+
+
+def test_standard_attribute_selector(spark, tmp_ckpt):
+    # the reference's integration suite passes an ATTRIBUTE selector to
+    # QuerySelectorAll (div[class*="blog-teaser"],
+    # TestWebsiteIntegrationTests.cs:306) — same shape here: substring
+    # match on the class attr instead of a class-token selector. Seeded
+    # at /cases.html (the selector-scoped page), engine ≡ simulator.
+    g = website2_graph()
+    cfg = CrawlConfig(root_url=g.root.rstrip("/") + "/cases.html",
+                      mode=CrawlMode.STANDARD,
+                      dom_selector='div[class*="case-head"]')
+    res, sim = assert_engine_matches_sim(spark, g, cfg, tmp_ckpt)
+    urls = {u for _s, u, _d in sim.visit_order}
+    assert f"{g.root}/cases/ecommerce-giant.html" in urls
+    assert f"{g.root}/cases/news-agency.html" in urls
+    assert not any(u.endswith("/about.html") for u in urls)
+
+
+def test_rendered_dom_headless_vs_standard(spark, tmp_ckpt):
+    # S5: links that exist only in the JS-rendered DOM. Headless crawls
+    # the rendered page (engine ≡ recursive sim on it); standard crawls
+    # static HTML and never discovers the app routes.
+    from azuresearchcrawlervector_spark.sources.fixtures import rendered_spa_site
+    g = rendered_spa_site()
+    cfg_h = CrawlConfig(root_url=g.root, mode=CrawlMode.HEADLESS, max_pages=10)
+    res, sim = assert_engine_matches_sim(spark, g, cfg_h, tmp_ckpt)
+    assert {u for _s, u, _d in sim.visit_order} == set(g.pages)  # all 3
+    cfg_s = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    res_s = run_engine(spark, g, cfg_s, tmp_ckpt + "_std")
+    std_urls = {r["url"] for r in res_s.documents(spark).collect()}
+    assert std_urls == {g.root + "/"}  # static HTML has no anchors

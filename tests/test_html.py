@@ -84,3 +84,66 @@ def test_fixture_expected_extraction_matches_kernel():
         et, ec = expected_extraction(spec)
         assert t == et, spec.url
         assert c == ec, (spec.url, c, ec)
+
+
+# ---------------------------------------------------- CSS selector engine
+def _links_in_scope(html, sel):
+    from azuresearchcrawlervector_spark.core.htmlkit import extract_page
+    _, _, links = extract_page(html, sel)
+    return [h for h, _p, in_sel in links if in_sel]
+
+
+_SEL_DOC = """<html><body>
+<div id="main" class="wrap outer" data-kind="x-blog-teaser-y">
+  <a href="/in-main">m</a>
+  <section class="case-header extra"><a href="/in-case">c</a></section>
+</div>
+<div class="wrap"><a href="/in-wrap">w</a></div>
+<p><a href="/free">f</a></p>
+</body></html>"""
+
+
+def test_selector_id():
+    assert _links_in_scope(_SEL_DOC, "#main") == ["/in-main", "/in-case"]
+    assert _links_in_scope(_SEL_DOC, "div#main") == ["/in-main", "/in-case"]
+
+
+def test_selector_attr_ops():
+    # the reference integration suite's shape: div[class*="blog-teaser"]
+    # (TestWebsiteIntegrationTests.cs:306) — substring on the raw attr
+    assert _links_in_scope(_SEL_DOC, 'div[data-kind*="blog-teaser"]') == \
+        ["/in-main", "/in-case"]
+    assert _links_in_scope(_SEL_DOC, 'section[class~=extra]') == ["/in-case"]
+    assert _links_in_scope(_SEL_DOC, 'div[data-kind^=x-]') == ["/in-main", "/in-case"]
+    assert _links_in_scope(_SEL_DOC, 'div[data-kind$=-y]') == ["/in-main", "/in-case"]
+    assert _links_in_scope(_SEL_DOC, "div[data-kind]") == ["/in-main", "/in-case"]
+    assert _links_in_scope(_SEL_DOC, 'div[data-kind=nope]') == []
+
+
+def test_selector_multi_class():
+    assert _links_in_scope(_SEL_DOC, ".wrap.outer") == ["/in-main", "/in-case"]
+    assert _links_in_scope(_SEL_DOC, "div.wrap") == \
+        ["/in-main", "/in-case", "/in-wrap"]
+
+
+def test_selector_descendant_and_child():
+    assert _links_in_scope(_SEL_DOC, "div section") == ["/in-case"]
+    assert _links_in_scope(_SEL_DOC, "#main > section") == ["/in-case"]
+    # child combinator must NOT match a grandchild
+    assert _links_in_scope(_SEL_DOC, "body > section") == []
+    # chain ending in the anchor itself scopes that anchor
+    assert _links_in_scope(_SEL_DOC, "p a") == ["/free"]
+
+
+def test_selector_comma_list():
+    assert _links_in_scope(_SEL_DOC, "section, p") == ["/in-case", "/free"]
+
+
+def test_selector_unsupported_raises():
+    import pytest
+    from azuresearchcrawlervector_spark.core.htmlkit import parse_selector
+    with pytest.raises(ValueError):
+        parse_selector("div:nth-child(2)")
+    with pytest.raises(ValueError):
+        parse_selector("div,,p")
+    assert parse_selector("  ") is None
