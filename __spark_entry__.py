@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
     )
     from azuresearchcrawlervector_spark.operators.similarity import (
-        ann_topk_lsh, topk_cosine,
+        ann_topk_lsh, ivf_topk, topk_cosine,
     )
 
     # -- engine primitives over the TPC-H-ish tables ---------------------
@@ -250,6 +250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ann_topk_lsh(em, [float(x) for x in qvec], k=10)
 
+    def q_ann_ivf(spark, sf):
+        # IVF-flat: data-derived centroids (vec_id < 16), nprobe=4 —
+        # assignment is pure JVM argmax over literal dots; the oracle
+        # reproduces it with a rank over the same rounded cosines
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_topk(em, [float(x) for x in qvec], k=10)
+
     def q_crawl_flagship(spark, sf):
         return entry(spark).select("seq", "url", "depth", "id", "title")
 
@@ -281,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh,
         "simhash64": q_simhash,
         "ann_topk_lsh": q_ann_lsh,
+        "ann_topk_ivf": q_ann_ivf,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -318,6 +327,43 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, multiprobe: int = 2,
         FROM b, q
         WHERE bit_count(xor(bucket, qb)) <= {multiprobe}
         ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _ann_ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 4,
+                        k: int = 10) -> str:
+    """IVF twin: centroids = first n_centroids vec_ids; assignment =
+    rank-1 centroid by (rounded cosine DESC, centroid index ASC) —
+    exactly the Spark side's argmax-with-lowest-index tie-break."""
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+    def cos(a: str, b: str) -> str:
+        return (f"round({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)")
+
+    return f"""
+        WITH cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                 embedding AS ce
+          FROM embeddings WHERE vec_id < {n_centroids}),
+        ac AS (
+          SELECT e.vec_id, e.embedding, c.cidx,
+                 {cos('e.embedding', 'c.ce')} AS ccos
+          FROM embeddings e CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, embedding, cidx FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, cidx ASC) AS rn
+            FROM ac) WHERE rn = 1),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qprobe AS (
+          SELECT c.cidx FROM cents c, q
+          ORDER BY {cos('q.qe', 'c.ce')} DESC, c.cidx ASC LIMIT {nprobe})
+        SELECT a.vec_id, {cos('a.embedding', 'q.qe')} AS cosine
+        FROM assign a, q
+        WHERE a.cidx IN (SELECT cidx FROM qprobe)
+        ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}
     """
 
 
@@ -538,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "crawl_flagship": _crawl_flagship_oracle_sql(),
         # minhash_lsh_dups: intentionally no oracle — the banded-LSH
         # candidate set depends on blake2b + Spark's internal hash()

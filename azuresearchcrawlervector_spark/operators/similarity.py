@@ -4,8 +4,11 @@
   zip_with/aggregate (JVM-side) — a TakeOrderedAndProject plan, no UDF.
 - LSH-bucketed ANN: random-hyperplane signatures (deterministic seed),
   probe the query's bucket ± multiprobe flips. The 10^10-row scale path:
-  bucket id is a partition-prunable column, so a query touches only its
-  probed buckets' partitions.
+  bucket id is a partition-prunable column — write_lsh_partitioned /
+  ann_topk_lsh_partitioned demonstrate the file-level pruning
+  (PartitionFilters in the scan).
+- IVF-flat ANN: data-derived centroids, JVM-side argmax assignment,
+  nprobe inverted-list probing; exact DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -66,6 +69,81 @@ def _bucket_expr(planes: np.ndarray, vec_col: str) -> str:
 def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
                     vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("bucket", F.expr(_bucket_expr(planes, vec_col)))
+
+
+def write_lsh_partitioned(df: DataFrame, path: str, planes: np.ndarray,
+                          vec_col: str = "embedding") -> None:
+    """The 10^10-row layout: materialize the LSH bucket as a PARTITION
+    column — a query's probe set then prunes at the FILE level (Spark
+    skips non-probed bucket directories entirely; `.explain` shows the
+    probe list under PartitionFilters)."""
+    with_lsh_bucket(df, planes, vec_col).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path)
+
+
+def ann_topk_lsh_partitioned(
+    spark, path: str, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, multiprobe: int = 2, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a bucket-partitioned table (write_lsh_partitioned):
+    identical results to ann_topk_lsh, but the bucket filter becomes a
+    partition-pruning predicate instead of a row filter."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << p) for p, row in enumerate(planes) if float(row @ q) > 0))
+    probe = [b for b in range(1 << n_planes)
+             if bin(b ^ qbucket).count("1") <= multiprobe]
+    bucketed = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    return topk_cosine(bucketed, query_vec, k, vec_col, id_col)
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: centroids = the table's first ``n_centroids``
+    vectors by id (deterministic, data-derived — no training step, no
+    external data); every row is assigned to its max-cosine centroid;
+    the query probes its ``nprobe`` nearest centroids and brute-forces
+    inside those inverted lists.
+
+    Plan shape: the centroid assignment is ``n_centroids`` constant-
+    folded literal-array dot products + an argmax — pure JVM projection,
+    NO crossJoin/shuffle/window. Ties break toward the lowest centroid
+    id (cosines rounded to 6 before comparison, so the DuckDB twin is
+    bit-reproducible). At 10^10 rows the assigned table is written
+    partitioned by ``ivf_cid`` (same file-pruning story as
+    write_lsh_partitioned — assignment is the one-off build cost).
+    """
+    cents = (df.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+             .collect())
+    cents = sorted((int(r["cid"]), list(r["ce"])) for r in cents)
+
+    def cos_lit(vec_expr: str, c: list[float]) -> str:
+        lit = "array(" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in c) + ")"
+        cnorm = float(np.sqrt(np.dot(c, c)))
+        return (f"round({_dot_expr(vec_expr, lit)}"
+                f" / (sqrt({_dot_expr(vec_expr, vec_expr)}) * {cnorm!r}), 6)")
+
+    arr = "array(" + ",".join(cos_lit(vec_col, c) for _cid, c in cents) + ")"
+    # argmax with lowest-index tie-break = array_position of the max
+    assigned = df.withColumn(
+        "ivf_cid", F.expr(f"array_position({arr}, array_max({arr})) - 1").cast("int"))
+
+    # probe set in INDEX space (cents are sorted by id, so index i is
+    # the i-th smallest centroid id — the oracle twin reproduces this
+    # with row_number() over the same ordering)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    qcos = [(round(float(np.dot(q, c) / (np.sqrt(np.dot(c, c)) * qn)), 6), idx)
+            for idx, (_cid, c) in enumerate(cents)]
+    probe = [idx for _c, idx in sorted(qcos, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    cand = assigned.filter(F.col("ivf_cid").isin(probe))
+    return topk_cosine(cand, query_vec, k, vec_col, id_col)
 
 
 def ann_topk_lsh(

@@ -103,6 +103,70 @@ def run_file_stream(
     return writer.start()
 
 
+def with_host_quota(stream_df: DataFrame, quota: int) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-host crawl quota that persists ACROSS micro-batches — the
+    streaming analog of the batch engine's per-host politeness budget
+    (P1/P3). State = one running count per host; rows beyond the quota
+    are dropped (the reference's rate limiter blocks; a stream drops and
+    relies on replay/backfill).
+
+    Scale: state is one int per distinct host, hash-partitioned by the
+    groupBy key — 10^7 hosts ≈ tens of MB of state spread across
+    executors' state stores.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType as _L, StructType as _S
+
+    out_schema = StructType(
+        list(stream_df.schema.fields) + [StructField("host_seq", _L(), False)])
+    state_schema = _S([StructField("n", _L(), False)])
+
+    def fn(key, pdfs, state: GroupState):
+        (taken,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if taken >= quota:
+                break
+            take = min(quota - taken, len(pdf))
+            head = pdf.iloc[:take].copy()
+            head["host_seq"] = range(taken, taken + take)
+            taken += take
+            if take:
+                yield head
+        state.update((taken,))
+
+    return (
+        stream_df.groupBy("host")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
+def run_host_quota_stream(
+    spark: SparkSession, input_dir: str, output_dir: str,
+    checkpoint_dir: str, quota: int = 3,
+):
+    """availableNow file-stream wrapper around with_host_quota (test/CI
+    surface: state must persist across the backlog's micro-batches)."""
+    schema = StructType(
+        list(FETCHED_PAGE_SCHEMA.fields) + [StructField("host", StringType(), False)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)   # force multiple micro-batches
+        .parquet(input_dir)
+    )
+    gated = with_host_quota(stream, quota)
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def read_documents_deduped(spark: SparkSession, output_dir: str) -> DataFrame:
     """Dedupe-on-read by content-addressed id (S8 MergeOrUpload analog):
     latest batch wins."""

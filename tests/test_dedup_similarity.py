@@ -163,3 +163,38 @@ def test_frame_sample_stub(spark):
         sample_frames(df, allow_fake=False).collect()  # stub: raises without fake
     rows = sample_frames(df, allow_fake=True, n_frames=3).collect()
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+
+
+def test_ivf_topk(spark, embs):
+    from azuresearchcrawlervector_spark.operators.similarity import ivf_topk
+    q = embs.filter("vec_id = 0").collect()[0]["embedding"]
+    rows = ivf_topk(embs, [float(x) for x in q], k=10).collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0  # self first
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    # recall vs the exact scan: the query's own inverted list is always
+    # probed, so near neighbors sharing its centroid are found
+    exact = {r["vec_id"] for r in topk_cosine(embs, [float(x) for x in q], k=10).collect()}
+    got = {r["vec_id"] for r in rows}
+    assert len(exact & got) >= 5
+
+
+def test_ann_lsh_partitioned_pruning(spark, embs, tmp_path):
+    from azuresearchcrawlervector_spark.operators.similarity import (
+        ann_topk_lsh, ann_topk_lsh_partitioned, hyperplanes,
+        write_lsh_partitioned,
+    )
+    q = [float(x) for x in embs.filter("vec_id = 0").collect()[0]["embedding"]]
+    planes = hyperplanes(len(q), 8)
+    path = str(tmp_path / "emb_by_bucket")
+    write_lsh_partitioned(embs, path, planes)
+    part = ann_topk_lsh_partitioned(spark, path, q, k=10)
+    # identical results to the in-scan filter variant
+    a = [(r["vec_id"], r["cosine"]) for r in part.collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in ann_topk_lsh(embs, q, k=10).collect()]
+    assert a == b
+    # and the probe set prunes at the FILE level: bucket is a partition
+    # column, so the filter shows up as PartitionFilters in the scan
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

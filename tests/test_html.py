@@ -147,3 +147,120 @@ def test_selector_unsupported_raises():
     with pytest.raises(ValueError):
         parse_selector("div,,p")
     assert parse_selector("  ") is None
+
+
+# ------------------------- property: streaming selector ≡ naive DOM walk
+def _naive_inscope_links(html, selector):
+    """Reference implementation: build a real tree, then per-anchor walk
+    ancestors-or-self checking the chain recursively (textbook CSS
+    matching) — the streaming prefix-counter engine must agree."""
+    from html.parser import HTMLParser
+    from azuresearchcrawlervector_spark.core.htmlkit import parse_selector
+
+    chains = parse_selector(selector)
+
+    class Node:
+        def __init__(self, tag, attrs, parent):
+            self.tag, self.attrs, self.parent = tag, dict(attrs), parent
+            self.children = []
+
+    class TreeBuilder(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.root = Node("#root", [], None)
+            self.cur = self.root
+            self.anchors = []
+
+        def handle_starttag(self, tag, attrs):
+            n = Node(tag, attrs, self.cur)
+            self.cur.children.append(n)
+            if tag == "a" and dict(attrs).get("href") is not None:
+                self.anchors.append((dict(attrs)["href"], n))
+            self.cur = n
+
+        def handle_endtag(self, tag):
+            p = self.cur
+            while p is not self.root and p.tag != tag:
+                p = p.parent
+            if p is not self.root:
+                self.cur = p.parent
+
+    def matches_chain(node, chain, i):
+        comb, simple = chain[i]
+        if node is None or node.tag == "#root":
+            return False
+        if not simple.matches(node.tag, node.attrs):
+            return False
+        if i == 0:
+            return True
+        prev_comb = chain[i][0]
+        if prev_comb == ">":
+            return matches_chain(node.parent, chain, i - 1)
+        anc = node.parent
+        while anc is not None and anc.tag != "#root":
+            if matches_chain(anc, chain, i - 1):
+                return True
+            anc = anc.parent
+        return False
+
+    def selected(node):
+        return any(matches_chain(node, ch, len(ch) - 1) for ch in chains)
+
+    tb = TreeBuilder()
+    tb.feed(html)
+    out = []
+    for href, n in tb.anchors:
+        p = n
+        hit = False
+        while p is not None and p.tag != "#root":
+            if selected(p):
+                hit = True
+                break
+            p = p.parent
+        if hit:
+            out.append(href)
+    return out
+
+
+def test_selector_property_vs_naive_dom():
+    import random
+    from azuresearchcrawlervector_spark.core.htmlkit import extract_page
+
+    rng = random.Random(1234)
+    tags = ["div", "section", "span", "article"]
+    classes = ["aa", "bb", "cc"]
+    selectors = [
+        "div", ".aa", "div.aa", "#n3", "div .bb", "section > span",
+        "div.aa .bb", "[data-k]", '[data-k*="x1"]', "div, section.cc",
+        "article > div > span", ".aa.bb", "span[data-k^=x]",
+    ]
+    for trial in range(60):
+        parts = []
+        depth = 0
+        nid = 0
+        for _ in range(rng.randint(4, 18)):
+            action = rng.random()
+            if action < 0.45 or depth == 0:
+                t = rng.choice(tags)
+                attrs = []
+                if rng.random() < 0.6:
+                    attrs.append(f'class="{" ".join(rng.sample(classes, rng.randint(1, 2)))}"')
+                if rng.random() < 0.3:
+                    attrs.append(f'id="n{nid}"')
+                if rng.random() < 0.3:
+                    attrs.append(f'data-k="x{rng.randint(0, 2)}"')
+                parts.append(f"<{t} {' '.join(attrs)}>")
+                depth += 1
+                nid += 1
+            elif action < 0.75:
+                parts.append(f'<a href="/l{nid}">x</a>')
+                nid += 1
+            else:
+                parts.append(f"</{rng.choice(tags)}>")  # often-mismatched close
+                depth = max(0, depth - 1)
+        html = "<html><body>" + "".join(parts) + "</body></html>"
+        sel = rng.choice(selectors)
+        _t, _c, links = extract_page(html, sel)
+        engine = [h for h, _p, s in links if s]
+        naive = _naive_inscope_links(html, sel)
+        assert engine == naive, (trial, sel, html, engine, naive)

@@ -90,3 +90,31 @@ def test_sites_file_multi_crawl(spark, tmp_path):
     assert d1.agg(F.max("depth")).collect()[0][0] == 1  # per-site maxDepth
     d2_urls = {r["url"] for r in results[1].documents(spark).collect()}
     assert any("/cases/" in u for u in d2_urls)  # selector-scoped crawl ran
+
+
+def test_host_quota_stateful_stream(spark, tmp_path):
+    # applyInPandasWithState: per-host quota persists ACROSS micro-batches
+    # (maxFilesPerTrigger=1 forces one batch per input file)
+    from azuresearchcrawlervector_spark.streaming.stream import (
+        run_host_quota_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    ts = datetime.datetime(2026, 1, 1)
+    for batch in range(3):  # 3 files -> 3 micro-batches
+        rows = [(f"http://h{h}.ex.com/p{batch}_{j}", 200, "<html/>", None,
+                 ts, f"h{h}.ex.com")
+                for h in range(2) for j in range(2)]
+        spark.createDataFrame(
+            rows, "url string, status int, html string, image_id string,"
+                  " fetch_ts timestamp, host string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_host_quota_stream(spark, inp, out, ckpt, quota=3)
+    got = spark.read.parquet(out)
+    per_host = {r["host"]: r["n"] for r in
+                got.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # 6 rows/host arrived; exactly quota=3 passed, state carried over
+    assert per_host == {"h0.ex.com": 3, "h1.ex.com": 3}
+    seqs = sorted(r["host_seq"] for r in got.filter("host = 'h0.ex.com'").collect())
+    assert seqs == [0, 1, 2]
