@@ -6,12 +6,18 @@ What is REAL here (fully implemented + tested):
   grayscale feature vector, phash — the full Spark-side plumbing: schema,
   partitioning, UDF signatures, Arrow batch shapes.
 
+What is REAL here, continued:
+- WAV audio: stdlib-parsed PCM decode + RMS/zero-crossing/spectral-
+  centroid features (core/audio.py) — a real container format, no
+  external codec needed.
+
 What is a clearly-marked STUB (no codec libraries in this container):
 - JPEG DCT decode (core/images.py qpng stands in, see its docstring),
-- audio decode + video frame-sample: ``NotImplementedError`` for real
-  codecs, with a deterministic fake behind ``allow_fake=True`` so the
-  batch plumbing is exercised end-to-end by tests. Swapping in
-  PIL/ffmpeg touches ONLY the kernel bodies, never the Spark plumbing.
+- compressed audio (mp3/ogg/...) + video frame-sample:
+  ``NotImplementedError`` for real codecs, with a deterministic fake
+  behind ``allow_fake=True`` so the batch plumbing is exercised
+  end-to-end by tests. Swapping in PIL/ffmpeg touches ONLY the kernel
+  bodies, never the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -82,16 +88,49 @@ def image_features(df: DataFrame, grid: int = 4) -> DataFrame:
 
 
 def decode_audio(buf: bytes, fmt: str, allow_fake: bool = False) -> np.ndarray:
-    """STUB: no audio codec in this container. With allow_fake, returns a
-    deterministic pseudo-waveform derived from the byte content so the
+    """WAV: REAL stdlib PCM decode (core/audio.py). Compressed formats
+    (mp3/ogg/...): no codec in this container — with allow_fake, returns
+    a deterministic pseudo-waveform derived from the byte content so the
     Spark plumbing can be tested; raises otherwise."""
+    if fmt == "wav":
+        from ..core.audio import wav_decode
+        pcm, _rate = wav_decode(buf)
+        return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
     if not allow_fake:
         raise NotImplementedError(
-            "audio decode requires an external codec (not in this container); "
-            "pass allow_fake=True for the deterministic test stand-in")
+            f"{fmt!r} decode requires an external codec (not in this "
+            "container); pass allow_fake=True for the deterministic "
+            "test stand-in, or use fmt='wav' (real stdlib codec)")
     seed = int.from_bytes(buf[:8].ljust(8, b"\0"), "little", signed=False) % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32)
+
+
+AUDIO_FEATURE_SCHEMA = ("media_id string, rms double, zcr_hz double, "
+                        "centroid_hz double, duration_s double, sample_rate int")
+
+
+def audio_feature_table(df: DataFrame) -> DataFrame:
+    """mapInPandas WAV feature extraction over (media_id, bytes) —
+    RMS, zero-crossing rate, spectral centroid, duration. Real decode
+    (wave module) + vectorized numpy features; scales like every other
+    Arrow kernel here (pure per-row work, no shuffle)."""
+    from ..core.audio import audio_features, wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                pcm, rate = wav_decode(buf)
+                rows.append({"media_id": mid, **{
+                    k: v for k, v in audio_features(pcm, rate).items()}})
+            out = pd.DataFrame(rows, columns=["media_id", "rms", "zcr_hz",
+                                              "centroid_hz", "duration_s",
+                                              "sample_rate"])
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            yield out
+
+    return df.select("media_id", "bytes").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,

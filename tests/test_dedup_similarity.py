@@ -198,3 +198,44 @@ def test_ann_lsh_partitioned_pruning(spark, embs, tmp_path):
     # column, so the filter shows up as PartitionFilters in the scan
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+# ---------------------------------------------------------------- audio
+def test_wav_roundtrip_and_features():
+    from azuresearchcrawlervector_spark.core.audio import (
+        audio_features, synth_tone, wav_decode, wav_encode,
+    )
+    pcm = synth_tone("aud-1", duration_s=0.25, sample_rate=16_000)
+    data = wav_encode(pcm, 16_000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"  # real container
+    back, rate = wav_decode(data)
+    assert rate == 16_000
+    assert np.array_equal(back[:, 0], pcm)                # bit-exact PCM
+    # a pure 440 Hz tone: zcr ≈ 440 crossings/s-pair, centroid near 440
+    t = np.arange(8000) / 16_000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    f = audio_features(tone[:, None], 16_000)
+    assert abs(f["zcr_hz"] - 440) < 5
+    assert 350 < f["centroid_hz"] < 700
+    with pytest.raises(Exception):
+        wav_decode(b"RIFFgarbage")                         # real parser
+
+
+def test_audio_feature_table_spark(spark):
+    from azuresearchcrawlervector_spark.core.audio import synth_tone, wav_encode
+    from azuresearchcrawlervector_spark.operators.multimodal import (
+        audio_feature_table, decode_audio,
+    )
+    rows = [(f"aud-{i}", bytearray(wav_encode(synth_tone(f"aud-{i}"), 16_000)), "wav")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    out = {r["media_id"]: r for r in audio_feature_table(df).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert r["sample_rate"] == 16_000 and abs(r["duration_s"] - 0.1) < 1e-6
+        assert 0.1 < r["rms"] < 0.8 and 100 < r["centroid_hz"] < 5000
+    # WAV decodes for real; compressed formats still refuse without a codec
+    wav = decode_audio(bytes(rows[0][1]), "wav")
+    assert wav.dtype == np.float32 and len(wav) == 1600
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00" * 100, "mp3")
