@@ -63,6 +63,12 @@ class CrawlConfig:
     # driver-side broadcast build time would otherwise grow linearly
     # with wave size and serialize the whole crawl.
     broadcast_wave_threshold: int = 100_000
+    # A1 binding-cap strategy: above this K, orderBy().limit(K) (a
+    # driver-side merge of up to K rows per partition) is replaced by
+    # the exact range-partitioned top-K (crawl.py
+    # _exact_topk_by_priority) — driver traffic drops to one count per
+    # partition
+    topk_range_threshold: int = 50_000
     # enforce robots.txt Disallow prefixes on discovered links — opt-in;
     # the reference never enforces them (Abot's respect-robots flag
     # defaults off, sitemap/headless crawlers ignore robots rules)

@@ -178,6 +178,20 @@ class CrawlEngine:
         # metrics table). Quiet INFORMATION-level by default.
         from ..core.console import Console
         self.console = console if console is not None else Console()
+        # P1 fast path precompute: the smallest possible per-host budget
+        # this crawl can see (worst crawl-delay, one tiny dim-table action
+        # at init). When that floor already exceeds a wave's pending
+        # count, NO host's budget can bind and the per-host ranking
+        # Window is skipped — that Window is the one non-scaling stage
+        # in the wave (the hottest host's rows form a single task), so
+        # skipping it when it provably cannot change the result keeps
+        # wave cost core-scalable.
+        from ..config import DEFAULT_CRAWL_DELAY_MS
+        max_delay = DEFAULT_CRAWL_DELAY_MS
+        if robots is not None:
+            row = robots.agg(F.max("crawl_delay_ms")).collect()[0][0]
+            max_delay = max(int(row or 0), DEFAULT_CRAWL_DELAY_MS)
+        self._min_host_budget = max(1, cfg.iter_window_ms // max_delay)
 
     # ------------------------------------------------------------------ seed
     def _seed_pending(self) -> DataFrame:
@@ -226,6 +240,47 @@ class CrawlEngine:
         # exactly the state a kill leaves, so run(resume=True) continues.
         return CrawlResult(self.store, m, self.cfg.seen_on_effective)
 
+    # --------------------------------------------------------------- helpers
+    def _exact_topk_by_priority(self, df: DataFrame, k: int,
+                                to_unpersist: list) -> DataFrame:
+        """EXACT top-k by priority without a driver-side merge:
+        range-partition by priority (equal keys co-located, partitions
+        ordered), freeze the partitioning in a cache, count per
+        partition (tiny action), then keep whole partitions below the
+        boundary and locally top-off inside the boundary partition.
+        The only driver traffic is one count row per partition."""
+        P = self.spark.sparkContext.defaultParallelism
+        rp = df.repartitionByRange(P, F.col("priority").asc()).persist()
+        to_unpersist.append(rp)
+        cnts = sorted(
+            (r["pid"], r["count"]) for r in
+            rp.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        cum, boundary, take_in_boundary = 0, None, 0
+        full_pids = []
+        for pid, n in cnts:
+            if cum + n <= k:
+                full_pids.append(pid)
+                cum += n
+                if cum == k:
+                    break
+            else:
+                boundary, take_in_boundary = pid, k - cum
+                break
+        parts = []
+        if full_pids:
+            parts.append(rp.filter(F.spark_partition_id().isin(full_pids)))
+        if boundary is not None and take_in_boundary > 0:
+            parts.append(
+                rp.filter(F.spark_partition_id() == boundary)
+                .orderBy("priority").limit(take_in_boundary))
+        if not parts:
+            return rp.limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ------------------------------------------------------------------ wave
     def _wave(self, m: Manifest) -> Manifest:
         """One frontier wave. Job budget per wave (the fixed overhead that
@@ -265,9 +320,12 @@ class CrawlEngine:
             # time (children dedup + anti-joins) — no per-wave re-dedup
             cand = pending
 
-        # P1 politeness (standard mode): per-host budget BEFORE salting
+        # P1 politeness (standard mode): per-host budget BEFORE salting.
+        # Skipped when the budget floor provably exceeds the whole
+        # pending set (same result, no single-hot-host Window task).
         to_unpersist = []
-        if cfg.politeness and cfg.mode == CrawlMode.STANDARD:
+        if (cfg.politeness and cfg.mode == CrawlMode.STANDARD
+                and self._min_host_budget < pending_n):
             tagged = apply_politeness(cand, self.robots, cfg.iter_window_ms).persist()
             to_unpersist.append(tagged)
             drop_cols = ("due", "host_rank", "host_budget", "crawl_delay_ms")
@@ -279,10 +337,19 @@ class CrawlEngine:
         # A1 global maxPages cap — deterministic top-K on priority. The
         # sort is SKIPPED when the budget cannot bind (remaining >= what
         # is even in the frontier) — no global sort in steady-state BFS.
+        # For a LARGE binding cap, orderBy().limit(K) is a driver-side
+        # K-row merge (TakeOrderedAndProject collects up to K rows from
+        # EVERY partition) — the exact range-partitioned top-K below
+        # keeps that wave core-scalable.
         if cfg.mode == CrawlMode.HEADLESS:
             due, capped = budget_due.orderBy("priority").limit(1), True
         elif remaining < pending_n:
-            due, capped = budget_due.orderBy("priority").limit(remaining), True
+            if remaining > cfg.topk_range_threshold:
+                due = self._exact_topk_by_priority(
+                    budget_due, remaining, to_unpersist)
+            else:
+                due = budget_due.orderBy("priority").limit(remaining)
+            capped = True
         else:
             due, capped = budget_due, False
 

@@ -175,3 +175,14 @@ def test_rendered_dom_headless_vs_standard(spark, tmp_ckpt):
     res_s = run_engine(spark, g, cfg_s, tmp_ckpt + "_std")
     std_urls = {r["url"] for r in res_s.documents(spark).collect()}
     assert std_urls == {g.root + "/"}  # static HTML has no anchors
+
+
+def test_range_partitioned_topk_cap(spark, tmp_ckpt):
+    # A1 with a BINDING cap routed through the exact range-partitioned
+    # top-K (threshold forced to 0) — must equal the simulator exactly,
+    # including which pages made the cut and the visit order.
+    from dataclasses import replace
+    g = website1_graph()
+    base = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD, max_pages=7)
+    cfg = replace(base, topk_range_threshold=0)
+    assert_engine_matches_sim(spark, g, cfg, tmp_ckpt)
