@@ -69,6 +69,14 @@ class CrawlConfig:
     # _exact_topk_by_priority) — driver traffic drops to one count per
     # partition
     topk_range_threshold: int = 50_000
+    # J1-J3 incremental seen sketch: crawls whose maxPages reaches this
+    # size maintain a driver-held Bloom (sized for maxPages up front,
+    # merged with each wave's delta, snapshotted per wave for resume)
+    # instead of rebuilding the sketch from the full frontier-log
+    # history every wave — per-wave cost becomes O(delta), independent
+    # of crawl length. Below the threshold the plain exact anti-join is
+    # already cheaper than any sketch.
+    seen_sketch_min_pages: int = 50_000
     # enforce robots.txt Disallow prefixes on discovered links — opt-in;
     # the reference never enforces them (Abot's respect-robots flag
     # defaults off, sitemap/headless crawlers ignore robots rules)

@@ -51,6 +51,9 @@ class Manifest:
     metrics_rows: list = field(default_factory=list)
     finished: bool = False
     config_fingerprint: str = ""
+    # incremental seen-sketch snapshot (Bloom bits through this wave);
+    # None = rebuild from the frontier log on resume (old manifests)
+    seen_sketch_path: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -108,6 +111,25 @@ class SnapshotStore:
             if f.endswith(".tmp") or (
                     _MANIFEST_RE.fullmatch(f) and int(f[1:6]) > iteration):
                 os.remove(os.path.join(mdir, f))
+
+    # -- seen-sketch snapshots ------------------------------------------------
+    def sketch_path(self, iteration: int) -> str:
+        return os.path.join(self.root, "seen_sketch", f"v{iteration:05d}.bin")
+
+    def write_sketch(self, bits: bytes, iteration: int) -> str:
+        p = self.sketch_path(iteration)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(bits)
+        os.replace(tmp, p)
+        return p
+
+    def read_sketch(self, path: str | None) -> bytes | None:
+        if not path or not os.path.exists(path):
+            return None
+        with open(path, "rb") as fh:
+            return fh.read()
 
     # -- data files ----------------------------------------------------------
     def pending_path(self, iteration: int) -> str:

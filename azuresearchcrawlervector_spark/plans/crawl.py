@@ -192,6 +192,33 @@ class CrawlEngine:
             row = robots.agg(F.max("crawl_delay_ms")).collect()[0][0]
             max_delay = max(int(row or 0), DEFAULT_CRAWL_DELAY_MS)
         self._min_host_budget = max(1, cfg.iter_window_ms // max_delay)
+        # incremental seen sketch (J1-J3): sized for maxPages once;
+        # capped at 2^30 bits (128 MB) — beyond that the FP rate
+        # degrades gracefully (the exact confirm join absorbs FPs) and
+        # the 10^10 path is the ShardedBloom layout (operators/seen.py)
+        self._sketch_enabled = cfg.max_pages >= cfg.seen_sketch_min_pages
+        self._sketch_bits = min(
+            BloomFilter.sized_for(cfg.max_pages, cfg.bloom_bits_per_key).n_bits,
+            1 << 30)
+        self._seen_sketch: BloomFilter | None = None
+
+    def _ensure_seen_sketch(self, m: Manifest, seen_prev) -> None:
+        """Load the wave-start sketch: from the driver (steady state),
+        from the checkpoint snapshot (resume), or by a one-time rebuild
+        from the frontier log (resume from a pre-sketch manifest)."""
+        if self._seen_sketch is not None:
+            return
+        bits = self.store.read_sketch(m.seen_sketch_path)
+        if bits is not None and len(bits) * 8 == self._sketch_bits:
+            import numpy as np
+            self._seen_sketch = BloomFilter(
+                self._sketch_bits,
+                bits=np.frombuffer(bits, dtype=np.uint8).copy())
+        elif seen_prev is not None and m.pages_fetched > 0:
+            self._seen_sketch = merged_sketch(
+                seen_prev, "url_hash", self._sketch_bits)
+        else:
+            self._seen_sketch = BloomFilter(self._sketch_bits)
 
     # ------------------------------------------------------------------ seed
     def _seed_pending(self) -> DataFrame:
@@ -602,14 +629,15 @@ class CrawlEngine:
         )
         sketch = None
         # the sketch pays off once the seen table is big enough that the
-        # exact join's shuffle dominates; below that, plain left_anti wins
-        if seen_prev is not None and m.pages_fetched >= 100_000:
-            sketch = merged_sketch(
-                seen_prev, "url_hash",
-                BloomFilter.sized_for(
-                    max(m.pages_fetched, 1024), cfg.bloom_bits_per_key
-                ).n_bits,
-            )
+        # exact join's shuffle dominates; below that, plain left_anti
+        # wins. The sketch is MAINTAINED INCREMENTALLY (driver-held
+        # Bloom sized for maxPages up front, merged with each wave's
+        # delta, snapshotted per wave for resume) — per-wave sketch
+        # cost is O(wave delta), never a rescan of the crawl history.
+        if self._sketch_enabled:
+            self._ensure_seen_sketch(m, seen_prev)
+            if m.pages_fetched >= cfg.seen_sketch_min_pages:
+                sketch = self._seen_sketch
         new_pending = anti_join_seen(children, seen_prev, sketch)
         new_pending = new_pending.join(
             seen_delta.select("url_hash"), "url_hash", "left_anti"
@@ -711,6 +739,19 @@ class CrawlEngine:
         new_links_n = int(obs.get["new"] or 0)
         _mark("pending_write")
 
+        # fold THIS wave's seen delta into the incremental sketch and
+        # snapshot it (bits file, manifest-referenced) — O(delta) work
+        # off the fetch cache, independent of crawl history
+        sketch_path = m.seen_sketch_path
+        if self._sketch_enabled:
+            delta_sk = merged_sketch(
+                seen_delta.select("url_hash"), "url_hash",
+                self._seen_sketch.n_bits)
+            self._seen_sketch.merge_(delta_sk.bits)
+            sketch_path = self.store.write_sketch(
+                self._seen_sketch.bits.tobytes(), i)
+            _mark("sketch_update")
+
         # metrics: per-partition fetch lineage rows + a global (-1) row,
         # committed inside the manifest (no extra write job)
         wall_ms = (time.monotonic() - t0) * 1000.0
@@ -756,6 +797,7 @@ class CrawlEngine:
             pending_count=pending_next_n,
             metrics_rows=met_rows,
             finished=False,
+            seen_sketch_path=sketch_path,
         )
         self.store.commit(m2)
         _mark("commit")

@@ -90,3 +90,39 @@ def test_truncated_tmp_manifest_ignored(tmp_path):
     store.rollback_to(0)
     assert store.latest().iter == 0
     assert not list(mdir.glob("*.tmp"))
+
+
+def test_incremental_seen_sketch_exact_and_resumable(spark, tmp_path):
+    """Sketch path forced on at fixture scale (seen_sketch_min_pages=0):
+    dedup stays EXACT (engine ≡ simulator), the sketch snapshot rides
+    the manifest, and a killed crawl resumes loading the sketch from the
+    checkpoint (fresh engine instance, no rebuild from the log)."""
+    from dataclasses import replace
+
+    from azuresearchcrawlervector_spark.simulator import simulate
+    from azuresearchcrawlervector_spark.sources.synthetic import pages_df
+
+    g = website1_graph()
+    cfg = replace(
+        CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD),
+        seen_sketch_min_pages=0)
+    pages = pages_df(spark, g)
+
+    # one-shot reference run
+    ref = CrawlEngine(spark, pages, cfg, str(tmp_path / "one"),
+                      validate_images=False).run()
+    assert ref.manifest.seen_sketch_path  # snapshot referenced
+
+    # killed-after-2-waves + resume with a FRESH engine
+    CrawlEngine(spark, pages, cfg, str(tmp_path / "two"),
+                validate_images=False, max_iters=2).run()
+    eng2 = CrawlEngine(spark, pages, cfg, str(tmp_path / "two"),
+                       validate_images=False)
+    res2 = eng2.run(resume=True)
+
+    sim = simulate(g, cfg)
+    for res in (ref, res2):
+        got = sorted((r["seq"], r["url"]) for r in res.documents(spark).collect())
+        want = sorted((d["seq"], d["url"]) for d in sim.documents)
+        assert got == want
+        assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
