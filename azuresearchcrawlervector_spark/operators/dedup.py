@@ -26,6 +26,16 @@ from pyspark.sql.types import ArrayType, LongType
 MERSENNE61 = (1 << 61) - 1
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition to core width when the input scan produced fewer
+    splits than cores — the explode/UDF stages below otherwise run
+    inside the (possibly single-task) scan stage. No-op at scale."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: the surviving (min) id + group size."""
     return (
@@ -47,7 +57,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle"))
+        _widen(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
@@ -154,6 +165,12 @@ def minhash_signatures(
     """
     import hashlib
 
+    # the signature kernel is the CPU-heavy stage — if the input scan
+    # produced fewer splits than cores (small file, one row-group), the
+    # whole batch would run on one core; widen it first (no-op at scale,
+    # where the scan already has thousands of splits)
+    df = _widen(df)
+
     a_params, b_params = _minhash_params(n_hashes, seed)
     a64 = a_params.astype(np.uint64)
     b64 = b_params.astype(np.uint64)
@@ -247,7 +264,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         slower but EXACTLY reproducible in ANSI-SQL engines (DuckDB has
         md5 but not xxhash64), used by the driver oracle twin.
     """
-    toks = df.select(
+    toks = _widen(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -124,6 +124,12 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM + the 32 Python/Arrow workers once so per-query times
+    # measure steady state, not one-time worker spawn (which otherwise
+    # lands on whichever query first touches a pandas UDF)
+    warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, cpus * 4, 1, cpus).select(warm("id")).count()
+
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
     headline = [
