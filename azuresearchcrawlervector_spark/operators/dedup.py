@@ -65,21 +65,24 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 3, threshold: float = 0.2, max_df: int | None = 100,
+    k: int = 3, threshold: float = 0.2, max_df: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity join via inverted index on word k-grams.
 
     shingles → stop-shingle pruning → self-join on shingle →
     per-pair intersection counts → |A∪B| from per-doc sizes → filter.
 
-    ``max_df`` (default 100) drops shingles appearing in more than
-    max_df docs BEFORE the self-join — the standard prefix-filter: a
+    ``max_df`` (default None = EXACT join, the documented original
+    contract) drops shingles appearing in more than max_df docs
+    BEFORE the self-join — the standard prefix-filter: a
     single boilerplate shingle shared by f docs contributes f·(f-1)/2
     join rows, so an unpruned hot shingle makes the self-join quadratic
     at scale. Recall contract: pairs whose overlap consists ONLY of
     shingles each shared by > max_df documents are missed — such
-    overlap is boilerplate by definition. Deterministic; pass
-    ``max_df=None`` for the exact (scale-unsafe) join.
+    overlap is boilerplate by definition. Deterministic. Scale-sensitive
+    call sites (``__spark_entry__``/bench) pass ``max_df=100``
+    explicitly — the default stays exact so existing callers' results
+    are unchanged.
     """
     sh = word_shingles(df, text_col, id_col, k)
     if max_df is not None:
@@ -108,6 +111,14 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------------------ MinHash
+# Permutation-matrix chunk bound: the vectorized kernel materializes a
+# (chunk_shingles × n_hashes) uint64 block — at n_hashes=64 this cap
+# bounds peak task memory at ~128 MB regardless of how many long
+# documents land in one Arrow batch (an unchunked batch of 10k long
+# docs could otherwise allocate multiple GB and OOM the executor).
+MINHASH_CHUNK_SHINGLES = 1 << 18
+
+
 def _minhash_params(n_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE61 - 1, size=n_hashes, dtype=np.int64)
@@ -154,6 +165,7 @@ def _permute61(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, k: int = 3, seed: int = 42,
+    chunk_shingles: int = MINHASH_CHUNK_SHINGLES,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<LONG>) — numpy kernel over Arrow batches.
 
@@ -196,9 +208,26 @@ def minhash_signatures(
             per_doc.append(np.arange(start, len(flat)))
         if flat:
             hs = np.asarray(flat, dtype=np.uint64)
-            perm = _permute61(hs, a64, b64)           # (ΣN, n_hashes)
-            offsets = [idx[0] for idx in per_doc if idx is not None]
-            mins = np.minimum.reduceat(perm, np.asarray(offsets, dtype=np.intp), axis=0)
+            offsets = np.asarray(
+                [idx[0] for idx in per_doc if idx is not None], dtype=np.intp)
+            ends = np.append(offsets[1:], len(hs))
+            # permute in doc-aligned chunks (~MINHASH_CHUNK_SHINGLES
+            # shingles, + at most one doc's overshoot), keeping per-doc
+            # segmented minima — identical output to one (ΣN, k) pass,
+            # bounded peak memory
+            mins_parts, d0 = [], 0
+            n_docs = len(offsets)
+            while d0 < n_docs:
+                d1 = d0 + 1
+                while (d1 < n_docs
+                       and ends[d1 - 1] - offsets[d0] < chunk_shingles):
+                    d1 += 1
+                lo, hi = offsets[d0], ends[d1 - 1]
+                perm = _permute61(hs[lo:hi], a64, b64)   # (chunk, n_hashes)
+                mins_parts.append(np.minimum.reduceat(
+                    perm, offsets[d0:d1] - lo, axis=0))
+                d0 = d1
+            mins = np.concatenate(mins_parts, axis=0)
         zeros = [0] * n_hashes
         out, mi = [], 0
         for idx in per_doc:

@@ -117,6 +117,22 @@ class CrawlResult:
         return self.store.read_table(spark, self.manifest, "frontier_log")
 
 
+def _split_log_segments(paths: list[str]) -> tuple[list[str], list[str]]:
+    """Classify frontier-log files into (compacted segments, delta tail).
+
+    Segments are ANY non-delta file (L1 ``compact_`` and L2 ``compact2_``
+    alike) — classifying by "does not start with delta_" rather than a
+    level-specific substring is what keeps an L2 fold's output in the
+    segment set; a misclassified L2 file would be re-read and rewritten
+    by every subsequent L1 merge, reinstating O(total²/K) behavior.
+    """
+    import os
+    segments = [p for p in paths
+                if not os.path.basename(p).startswith("delta_")]
+    tail = [p for p in paths if p not in segments]
+    return segments, tail
+
+
 def _priority_expr(mode: CrawlMode):
     if mode == CrawlMode.STANDARD:
         return F.concat(F.format_string("%03d", F.col("depth")), F.lit("|"), F.col("path"))
@@ -770,8 +786,7 @@ class CrawlEngine:
         # accumulate to K, one L2 merge folds them (amortized O(total·L)).
         # Old files stay on disk so earlier manifests (snapshot rollback)
         # remain readable.
-        segments = [p for p in log_paths if "compact_" in os.path.basename(p)]
-        delta_tail = [p for p in log_paths if p not in segments]
+        segments, delta_tail = _split_log_segments(log_paths)
         if len(delta_tail) >= cfg.log_compaction_files:
             seg = self.store.delta_path("frontier_log", i).replace(
                 "delta_", "compact_")

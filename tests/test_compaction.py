@@ -7,6 +7,24 @@ from azuresearchcrawlervector_spark.sources.synthetic import pages_df
 from dataclasses import replace
 
 
+def test_split_log_segments_keeps_l2():
+    """L2 segments (compact2_*) must classify as SEGMENTS, not delta
+    tail — a misclassified L2 file would be re-read and rewritten by
+    every later L1 merge (the O(total²/K) behavior compaction exists to
+    avoid)."""
+    from azuresearchcrawlervector_spark.plans.crawl import _split_log_segments
+
+    paths = [
+        "/x/frontier_log/compact2_00009.parquet",
+        "/x/frontier_log/compact_00012.parquet",
+        "/x/frontier_log/delta_00013.parquet",
+        "/x/frontier_log/delta_00014.parquet",
+    ]
+    segments, tail = _split_log_segments(paths)
+    assert segments == paths[:2]
+    assert tail == paths[2:]
+
+
 def test_compaction_preserves_results(spark, tmp_path):
     g = website1_graph()
     pages = pages_df(spark, g)
@@ -52,5 +70,23 @@ def test_long_crawl_incremental_compaction(spark, tmp_path):
     # until (at most) one L2 fold — i.e. old data is not rewritten per wave
     segs = [p for p in manifests[-1].deltas["frontier_log"] if "compact" in p]
     assert segs, "compaction never triggered"
+    # an L2 fold's output must survive as a SEGMENT: once a compact2_
+    # file appears, it may only ever be superseded by a NEWER compact2_
+    # (another L2 fold) — never absorbed into an L1 compact_ file, which
+    # would mean the full history was re-read by a routine L1 merge
+    import os
+    l2_seen = False
+    for prev, cur in zip(manifests, manifests[1:]):
+        prev_l2 = {p for p in prev.deltas["frontier_log"]
+                   if os.path.basename(p).startswith("compact2_")}
+        cur_paths = set(cur.deltas["frontier_log"])
+        new_l2 = {p for p in cur_paths
+                  if os.path.basename(p).startswith("compact2_")} - prev_l2
+        l2_seen = l2_seen or bool(prev_l2)
+        for p in prev_l2 - cur_paths:
+            assert new_l2, (
+                f"L2 segment {p} vanished at iter {cur.iter} without a "
+                f"replacing L2 fold — it was folded into an L1 merge")
+    assert l2_seen, "L2 fold never triggered; assertion vacuous"
     log = res.frontier_log(spark)
     assert log.filter("state = 'fetched'").count() == 30

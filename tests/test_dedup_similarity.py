@@ -84,6 +84,18 @@ def test_minhash_mulmod_kernel_parity():
     assert (ref == got.astype(object)).all()
 
 
+def test_minhash_chunked_matches_unchunked(spark):
+    """The bounded-memory chunked permutation must be bit-identical to
+    the single-pass kernel: chunk_shingles=3 forces many tiny chunks
+    (every doc here has >3 shingles, so chunks also overshoot by one
+    doc — the documented bound)."""
+    full = {r["doc_id"]: r["sig"]
+            for r in minhash_signatures(dup_docs(spark)).collect()}
+    tiny = {r["doc_id"]: r["sig"]
+            for r in minhash_signatures(dup_docs(spark), chunk_shingles=3).collect()}
+    assert full == tiny
+
+
 def test_minhash_estimates_track_true_jaccard(spark):
     sig = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs(spark)).collect()}
     est_12 = np.mean([a == b for a, b in zip(sig[1], sig[2])])
