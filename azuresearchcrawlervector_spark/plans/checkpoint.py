@@ -148,6 +148,33 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(p)
         return p
 
+    def write_metrics_rows(self, rows: list, iteration: int) -> str:
+        """Spill one wave's per-partition metrics rows to a tiny parquet
+        file DRIVER-SIDE (pyarrow, no Spark job — the rows are already
+        on the driver, O(partitions) of them). The metrics TABLE is then
+        a normal delta-file parquet read: inspecting metrics for a
+        10^6-wave crawl costs a parquet scan, not O(waves) driver memory
+        re-materialized from every manifest."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema([
+            ("iter", pa.int32()), ("partition_id", pa.int32()),
+            ("urls_in", pa.int64()), ("deduped", pa.int64()),
+            ("fetched", pa.int64()), ("failed", pa.int64()),
+            ("new_links", pa.int64()), ("wall_ms", pa.float64()),
+        ])
+        cols = list(zip(*rows)) if rows else [[] for _ in schema]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema)
+        p = self.delta_path("metrics", iteration)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, p)
+        return p
+
     def read_pending(self, spark: SparkSession, m: Manifest) -> DataFrame | None:
         if not m.pending_path:
             return None

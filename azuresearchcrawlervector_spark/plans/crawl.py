@@ -105,6 +105,13 @@ class CrawlResult:
         return seen_from_log(self.frontier_log(spark), self.seen_on)
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:
+        # metrics is a parquet delta table (one tiny driver-written file
+        # per wave) — reading it never scales with crawl length on the
+        # driver. Manifests written by older engine builds carried the
+        # rows inline instead; fall back to re-materializing those.
+        table = self.store.read_table(spark, self.manifest, "metrics")
+        if table is not None:
+            return table
         rows = []
         for mf in self.store.all_manifests():
             if mf.iter <= self.manifest.iter:
@@ -776,6 +783,10 @@ class CrawlEngine:
              int(r["failed"] or 0), None, None]
             for r in part_rows
         ] + [[i, -1, due_n, None, ok_n, due_n - ok_n, new_links_n, wall_ms]]
+        # spill this wave's rows to the parquet metrics table (tiny
+        # driver-side pyarrow write, no Spark job); the manifest keeps
+        # only the CURRENT wave's rows for inspection/console
+        met_path = self.store.write_metrics_rows(met_rows, i)
 
         log_paths = list(m.deltas.get("frontier_log", [])) + [log_path]
         # INCREMENTAL compaction (LSM-style, 2 levels): only the tail of
@@ -801,6 +812,7 @@ class CrawlEngine:
         deltas = {
             "documents": list(m.deltas.get("documents", [])) + [doc_path],
             "frontier_log": log_paths,
+            "metrics": list(m.deltas.get("metrics", [])) + [met_path],
         }
         fetched_count = due_n if cfg.seen_on_effective == SeenOn.SCHEDULE else ok_n
         m2 = Manifest(

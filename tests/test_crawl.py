@@ -141,6 +141,13 @@ def test_metrics_lineage_rows(spark, tmp_ckpt):
     parts = [m for m in mets if m["partition_id"] >= 0]
     assert len(glob) >= 1 and len(parts) >= 1
     assert sum(m["fetched"] for m in glob) == 7
+    # metrics is a parquet delta table (one driver-written file per
+    # wave), NOT an O(waves) driver re-materialization from manifests;
+    # each manifest carries only its own wave's rows
+    assert res.manifest.deltas.get("metrics"), "metrics parquet deltas missing"
+    assert len(res.manifest.deltas["metrics"]) == res.manifest.iter
+    for mf in res.store.all_manifests():
+        assert all(r[0] == mf.iter for r in mf.metrics_rows)
     log = res.frontier_log(spark)
     assert log.filter(F.col("state") == "fetched").count() == 7
 
