@@ -59,7 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subword_count_col, token_count_col,
     )
     from azuresearchcrawlervector_spark.operators.dedup import (
-        exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
+        embedding_neardup_lsh, exact_dedup, minhash_lsh_pairs,
+        ngram_jaccard_pairs, simhash64,
     )
     from azuresearchcrawlervector_spark.operators.similarity import (
         ann_topk_lsh, ivf_topk, topk_cosine,
@@ -231,6 +232,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("id_a", "id_b")
         )
 
+    def q_emb_neardup_lsh(spark, sf):
+        # the SCALE near-dup path at the same 0.35 threshold: multi-
+        # table hyperplane-LSH bucket join (equi-joins only, no
+        # crossJoin); the exact q_emb_neardup stays as the small-scale
+        # cross-check. Recall contract in the operator docstring.
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        return (embedding_neardup_lsh(em, dim=64, threshold=0.35)
+                .orderBy("id_a", "id_b"))
+
     def q_ann_topk(spark, sf):
         em = spark.read.parquet(_t(sf, "embeddings"))
         qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -285,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_topk": q_ann_topk,
         "minhash_lsh_dups": q_minhash_lsh,
         "simhash64": q_simhash,
@@ -364,6 +375,53 @@ def _ann_ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 4,
         FROM assign a, q
         WHERE a.cidx IN (SELECT cidx FROM qprobe)
         ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
+def _emb_neardup_lsh_oracle_sql(dim: int = 64, n_tables: int = 8,
+                                planes_per_table: int = 4,
+                                threshold: float = 0.35,
+                                seed: int = 42) -> str:
+    """Twin of embedding_neardup_lsh: the hyperplanes are seed-fixed
+    literals, so the oracle inlines each table's sign bucket, joins on
+    (table, bucket), dedups pairs, and verifies with the exact cosine —
+    the identical candidate set and verify as the Spark plan."""
+    from azuresearchcrawlervector_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_tables * planes_per_table, seed)
+
+    def dot(vec_expr: str, row) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in row) + "]"
+        return (f"list_sum(list_transform(list_zip({vec_expr}, {lit}),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+    selects = []
+    for t in range(n_tables):
+        sub = planes[t * planes_per_table:(t + 1) * planes_per_table]
+        bucket = " + ".join(
+            f"(CASE WHEN {dot('embedding', row)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(sub))
+        selects.append(f"SELECT vec_id, {t} AS tbl,"
+                       f" CAST({bucket} AS BIGINT) AS bucket FROM embeddings")
+    union = " UNION ALL ".join(selects)
+    pair_dot = ("list_sum(list_transform(list_zip(ea.embedding, eb.embedding),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    nrm = lambda s: (f"sqrt(list_sum(list_transform({s}.embedding,"
+                     f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+        WITH b AS ({union}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM b x JOIN b y
+            ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT id_a, id_b,
+                 round({pair_dot} / ({nrm('ea')} * {nrm('eb')}), 4) AS cosine
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = id_a
+          JOIN embeddings eb ON eb.vec_id = id_b)
+        WHERE cosine >= {threshold}
+        ORDER BY id_a, id_b
     """
 
 
@@ -583,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "emb_neardup_lsh": _emb_neardup_lsh_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "crawl_flagship": _crawl_flagship_oracle_sql(),

@@ -135,7 +135,8 @@ def main():
     headline = [
         "lineitem_agg", "top_orders", "region_revenue", "budget_window",
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
-        "simhash64", "emb_neardup", "ann_topk", "ann_topk_ivf",
+        "simhash64", "emb_neardup", "emb_neardup_lsh", "ann_topk",
+        "ann_topk_ivf",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)

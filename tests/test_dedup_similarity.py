@@ -124,6 +124,34 @@ def test_embedding_neardup(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_embedding_neardup_lsh(spark, embs):
+    """The bucketed near-dup: (a) candidates ⊆ exact all-pairs result
+    with identical cosines (no false positives — the verify is exact);
+    (b) high-threshold near-dups are recalled (at 0.95 a pair collides
+    in some table w.p. ≈0.9998); (c) the plan contains NO cartesian
+    product — every join is an equi-join on (table, bucket) or id."""
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        embedding_neardup_lsh,
+    )
+
+    lsh_df = embedding_neardup_lsh(embs, dim=64, threshold=0.5)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh_df.collect()}
+    # exact all-pairs at the same threshold (no label blocking)
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_neardup_pairs(
+                 embs, threshold=0.5).withColumn(
+                 "cosine", F.round("cosine", 4)).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    # near-identical pairs (cos >= 0.95) must essentially all be found
+    hot = {k for k, c in exact.items() if c >= 0.95}
+    found = hot & set(lsh)
+    assert not hot or len(found) / len(hot) >= 0.9, (len(found), len(hot))
+
+
 # ------------------------------------------------------------- similarity
 def test_topk_cosine_exact(spark, embs):
     q = embs.filter("vec_id = 0").collect()[0]["embedding"]
