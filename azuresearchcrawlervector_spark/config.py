@@ -85,6 +85,13 @@ class CrawlConfig:
     # (AbotCrawler.cs:165) with a 600 s floor so tiny-budget crawls on a
     # loaded machine aren't killed mid-wave
     crawl_timeout_s: int | None = None
+    # payload-table bucket layout (sources/payload.py): >0 means the
+    # pages/images tables carry a `bucket` partition column equal to
+    # pmod(xxhash64(url|image_id), payload_buckets); each wave's fetch
+    # then prunes the payload SCAN at the file level to the buckets its
+    # pending set occupies (per-wave payload I/O ∝ wave coverage, not
+    # table size). 0 = flat layout, full scan per wave.
+    payload_buckets: int = 0
     # compact the frontier_log delta files once this many accumulate —
     # the seen projection re-reads them every wave, so unbounded delta
     # fan-in would make wave cost grow with crawl age

@@ -219,6 +219,13 @@ class CrawlEngine:
         # capped at 2^30 bits (128 MB) — beyond that the FP rate
         # degrades gracefully (the exact confirm join absorbs FPs) and
         # the 10^10 path is the ShardedBloom layout (operators/seen.py)
+        # payload bucket pruning (sources/payload.py): active when the
+        # config says the tables are bucketed AND the column is present
+        self._pages_bucketed = (
+            cfg.payload_buckets > 0 and "bucket" in pages.columns)
+        self._images_bucketed = (
+            cfg.payload_buckets > 0 and images is not None
+            and "bucket" in images.columns)
         self._sketch_enabled = cfg.max_pages >= cfg.seen_sketch_min_pages
         self._sketch_bits = min(
             BloomFilter.sized_for(cfg.max_pages, cfg.bloom_bits_per_key).n_bits,
@@ -417,7 +424,25 @@ class CrawlEngine:
         # shuffle variant gets WORSE with more cores from spill pressure).
         # Above broadcast_wave_threshold rows the engine falls back to a
         # shuffle-hash join (AQE skew-split applies).
-        pages_cols = self.pages.select("url", "status", "html", "image_id")
+        # file-level payload pruning (sources/payload.py): restrict the
+        # pages SCAN to the buckets the pending set occupies — a
+        # partition-pruning predicate, so non-probed bucket directories
+        # are never opened. The bucket ids come from pending's url_hash
+        # (one single-column scan, ≤ payload_buckets values collected);
+        # using pending (⊇ due) keeps the collect off the politeness/
+        # cap pipeline — a superset of buckets is pruning-correct.
+        # skipped when pending provably covers ~all buckets: expected
+        # untouched buckets ≈ B·e^(−n/B), <2% once n ≥ 4B — the bounded
+        # collect can't pay for itself there, and a steady-state wave
+        # that touches every bucket reads the table proportionally to
+        # useful work anyway.
+        pages_src = self.pages
+        if self._pages_bucketed and pending_n < 4 * cfg.payload_buckets:
+            from ..sources.payload import prune_by_buckets, wave_bucket_ids
+            wave_buckets = wave_bucket_ids(
+                pending, F.col("url_hash"), cfg.payload_buckets)
+            pages_src = prune_by_buckets(pages_src, wave_buckets)
+        pages_cols = pages_src.select("url", "status", "html", "image_id")
         small_wave = pending_n <= cfg.broadcast_wave_threshold
         if small_wave:
             matched = pages_cols.join(F.broadcast(due), on="url", how="inner")
@@ -555,10 +580,21 @@ class CrawlEngine:
             # the key set; big waves sketch-filter the scan (executor-side,
             # no driver broadcast build). The decode/PSNR UDF runs on the
             # matched sliver; the COMPACT validation rows then join back.
+            images_src = self.images
+            if self._images_bucketed and pending_n < 4 * cfg.payload_buckets:
+                from ..sources.payload import (
+                    prune_by_buckets, wave_bucket_ids,
+                )
+                img_buckets = wave_bucket_ids(
+                    extracted.where(F.col("image_id").isNotNull()),
+                    F.xxhash64("image_id"), cfg.payload_buckets)
+                # extracted is persisted — this bounded collect also
+                # warms its cache for the docs/pending writes below
+                images_src = prune_by_buckets(images_src, img_buckets)
             if small_wave:
                 img_keys = extracted.select("image_id").where(
                     F.col("image_id").isNotNull()).distinct()
-                img_matched = self.images.join(
+                img_matched = images_src.join(
                     F.broadcast(img_keys), on="image_id", how="inner")
             else:
                 img_sketch = merged_sketch(
@@ -567,7 +603,7 @@ class CrawlEngine:
                                           cfg.bloom_bits_per_key).n_bits,
                 )
                 img_matched = split_by_sketch(
-                    self.images.withColumn("ih", F.xxhash64("image_id")),
+                    images_src.withColumn("ih", F.xxhash64("image_id")),
                     img_sketch, "ih",
                 ).filter(F.col("maybe_seen")).drop("maybe_seen", "ih")
             img_checked = with_image_validation(img_matched).withColumn(

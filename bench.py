@@ -38,7 +38,7 @@ def time_query(fn, *args):
 
 
 def _run_crawl(spark, work, tag, pages_r, images_r, robots, n_hosts,
-               max_pages, iter_window_ms) -> dict:
+               max_pages, iter_window_ms, payload_buckets=0) -> dict:
     from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
     from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
 
@@ -49,6 +49,7 @@ def _run_crawl(spark, work, tag, pages_r, images_r, robots, n_hosts,
         max_depth=64,
         iter_window_ms=iter_window_ms,
         salt_partitions=16,
+        payload_buckets=payload_buckets,
     )
     seeds = [f"http://host{i}.bench.example.com/" for i in range(n_hosts)]
     t0 = time.monotonic()
@@ -82,29 +83,40 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> tuple[dict, dict]:
     demonstrating, not just configuring, the politeness semantics the
     throughput claim is made under (budget carry-over forces extra
     waves)."""
+    from azuresearchcrawlervector_spark.sources.payload import (
+        write_bucketed_payload,
+    )
     from azuresearchcrawlervector_spark.sources.synthetic import (
         bench_images_df, bench_pages_df, robots_df,
     )
 
+    buckets = int(os.environ.get("BENCH_PAYLOAD_BUCKETS", "64"))
     work = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
-        # --- datagen (not part of the measured crawl) ---
+        # --- datagen (not part of the measured crawl); payload tables
+        # use the bucketed layout (file-level fetch pruning) — the
+        # scale-correct configuration the engine targets ---
         t0 = time.monotonic()
         pages = bench_pages_df(spark, n_urls, n_hosts)
-        pages.write.mode("overwrite").parquet(f"{work}/pages.parquet")
+        write_bucketed_payload(pages, f"{work}/pages.parquet", "url", buckets)
         pages_r = spark.read.parquet(f"{work}/pages.parquet")
-        bench_images_df(spark, pages_r).write.mode("overwrite").parquet(f"{work}/images.parquet")
+        write_bucketed_payload(
+            bench_images_df(spark, pages_r.drop("bucket")),
+            f"{work}/images.parquet", "image_id", buckets)
         datagen_s = time.monotonic() - t0
 
         images_r = spark.read.parquet(f"{work}/images.parquet")
         robots = robots_df(spark, [f"host{i}.bench.example.com" for i in range(n_hosts)],
                            crawl_delay_ms=100)
         main_run = _run_crawl(spark, work, "main", pages_r, images_r, robots,
-                              n_hosts, n_urls, iter_window_ms=3_600_000)
+                              n_hosts, n_urls, iter_window_ms=3_600_000,
+                              payload_buckets=buckets)
         main_run["datagen_sec"] = round(datagen_s, 2)
+        main_run["payload_buckets"] = buckets
         bound_n = min(n_urls, 30_000)
         bound_run = _run_crawl(spark, work, "bound", pages_r, images_r, robots,
-                               n_hosts, bound_n, iter_window_ms=100_000)
+                               n_hosts, bound_n, iter_window_ms=100_000,
+                               payload_buckets=buckets)
         bound_run["budget_per_host_wave"] = 1000
         return main_run, bound_run
     finally:

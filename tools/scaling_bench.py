@@ -45,7 +45,8 @@ robots = robots_df(spark, [f"host{{i}}.bench.example.com" for i in range({hosts}
 # group is a single task at any core count. bench.py's
 # crawl_politeness_bound run covers the binding case.
 cfg = CrawlConfig(root_url="http://host0.bench.example.com/", mode=CrawlMode.STANDARD,
-                  max_pages={n}, max_depth=64, iter_window_ms=600_000_000, salt_partitions=32)
+                  max_pages={n}, max_depth=64, iter_window_ms=600_000_000, salt_partitions=32,
+                  payload_buckets={buckets})
 seeds = [f"http://host{{i}}.bench.example.com/" for i in range({hosts})]
 import uuid
 t0 = time.monotonic()
@@ -60,8 +61,9 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": dt, "urls": m.pages_fetche
 """
 
 
-def run_level(repo, work, cpus, n, hosts):
-    code = RUNNER.format(repo=repo, work=work, cpus=cpus, n=n, hosts=hosts)
+def run_level(repo, work, cpus, n, hosts, buckets):
+    code = RUNNER.format(repo=repo, work=work, cpus=cpus, n=n, hosts=hosts,
+                         buckets=buckets)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
                          timeout=3600)
     for line in out.stdout.splitlines():
@@ -77,6 +79,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
+    # bucketed payload layout (sources/payload.py file-level fetch
+    # pruning) — the scale-correct configuration; 0 = flat layout
+    buckets = int(os.environ.get("SCALE_PAYLOAD_BUCKETS", "64"))
     work = tempfile.mkdtemp(prefix="scaling_bench_")
     # datagen once, at full parallelism (excluded from the measured crawl)
     gen_code = f"""
@@ -85,11 +90,19 @@ sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = "32"
 from azuresearchcrawlervector_spark.session import get_spark
 from azuresearchcrawlervector_spark.sources.synthetic import bench_pages_df, bench_images_df
+from azuresearchcrawlervector_spark.sources.payload import write_bucketed_payload
 spark = get_spark("scale-datagen", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-bench_pages_df(spark, {n}, {hosts}).write.mode("overwrite").parquet({work!r} + "/pages.parquet")
-pr = spark.read.parquet({work!r} + "/pages.parquet")
-bench_images_df(spark, pr).write.mode("overwrite").parquet({work!r} + "/images.parquet")
+if {buckets} > 0:
+    write_bucketed_payload(bench_pages_df(spark, {n}, {hosts}),
+                           {work!r} + "/pages.parquet", "url", {buckets})
+    pr = spark.read.parquet({work!r} + "/pages.parquet")
+    write_bucketed_payload(bench_images_df(spark, pr.drop("bucket")),
+                           {work!r} + "/images.parquet", "image_id", {buckets})
+else:
+    bench_pages_df(spark, {n}, {hosts}).write.mode("overwrite").parquet({work!r} + "/pages.parquet")
+    pr = spark.read.parquet({work!r} + "/pages.parquet")
+    bench_images_df(spark, pr).write.mode("overwrite").parquet({work!r} + "/images.parquet")
 """
     subprocess.run([sys.executable, "-c", gen_code], check=True, timeout=1800)
 
@@ -107,8 +120,8 @@ bench_images_df(spark, pr).write.mode("overwrite").parquet({work!r} + "/images.p
     lvl_4n = 4 * lvl_n
     runs8, runs32 = [], []
     for _ in range(repeats):
-        runs8.append(run_level(repo, work, lvl_n, n, hosts))
-        runs32.append(run_level(repo, work, lvl_4n, n, hosts))
+        runs8.append(run_level(repo, work, lvl_n, n, hosts, buckets))
+        runs32.append(run_level(repo, work, lvl_4n, n, hosts, buckets))
     r8 = min(runs8, key=lambda r: r["sec"])
     r32 = min(runs32, key=lambda r: r["sec"])
     thr8 = r8["urls"] / r8["sec"]
@@ -116,6 +129,7 @@ bench_images_df(spark, pr).write.mode("overwrite").parquet({work!r} + "/images.p
     eff = thr32 / (4 * thr8)
     result = {
         "n_urls": n, "n_hosts": hosts, "levels": [lvl_n, lvl_4n],
+        "payload_buckets": buckets,
         f"local{lvl_n}": {"sec": round(r8["sec"], 1), "urls_per_sec": round(thr8, 1),
                    "image_rows_per_sec": round(r8["docs"] / r8["sec"], 1),
                    "iterations": r8["iters"],
