@@ -77,6 +77,16 @@ class CrawlConfig:
     # of crawl length. Below the threshold the plain exact anti-join is
     # already cheaper than any sketch.
     seen_sketch_min_pages: int = 50_000
+    # seen-sketch layout: a crawl whose sized sketch fits under
+    # seen_sketch_cap_bits uses ONE driver-held Bloom, broadcast to
+    # probe tasks. Above the cap the engine switches to the SHARDED
+    # layout (operators/seen.ShardedBloom): power-of-two shards of
+    # seen_sketch_shard_bits each, snapshotted as per-shard files
+    # (dirty-only writes) and probed shard-aligned from the checkpoint
+    # store — no monolithic broadcast at any size. Defaults: cap 128 MB,
+    # shard 16 MB; at 10^10 keys × 16 bits that is 2048 shards.
+    seen_sketch_cap_bits: int = 1 << 30
+    seen_sketch_shard_bits: int = 1 << 27
     # enforce robots.txt Disallow prefixes on discovered links — opt-in;
     # the reference never enforces them (Abot's respect-robots flag
     # defaults off, sitemap/headless crawlers ignore robots rules)

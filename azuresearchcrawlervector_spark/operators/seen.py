@@ -132,13 +132,15 @@ def split_by_sketch(candidates: DataFrame, sketch: BloomFilter, hash_col: str = 
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame | None,
-    sketch: BloomFilter | None,
+    sketch,
     hash_col: str = "url_hash",
 ) -> DataFrame:
     """EXACT dedup against the seen set, Bloom-accelerated.
 
     definite-new rows (sketch says absent — Bloom has no false negatives)
     skip the join; only maybe-seen rows take the exact left_anti join.
+    ``sketch`` is a BloomFilter (broadcast probe), a ShardedSketchFiles
+    handle (shard-aligned file probe — the 10^10 path), or None.
     """
     if seen is None:
         return candidates
@@ -146,7 +148,10 @@ def anti_join_seen(
         return candidates.join(
             seen.select(hash_col).distinct(), on=hash_col, how="left_anti"
         )
-    tagged = split_by_sketch(candidates, sketch, hash_col)
+    if isinstance(sketch, ShardedSketchFiles):
+        tagged = sketch.split(candidates, hash_col)
+    else:
+        tagged = split_by_sketch(candidates, sketch, hash_col)
     definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(
@@ -158,16 +163,26 @@ def anti_join_seen(
 class ShardedBloom:
     """Scale path for 10^10 keys: shard the sketch by pmod(url_hash, S).
 
-    Each shard is an independent BloomFilter sized for n_keys/S; an
-    executor probing a hash touches exactly one shard. At 16 bits/key and
-    S=1024, a 10^10-key seen set is ~20 MB/shard — broadcastable per-shard
-    or resident per-executor via partition-aligned placement. Exercised at
-    reduced scale in tests; the single-sketch path above is what the
-    fixture-scale engine uses.
+    Each shard is an independent BloomFilter; an executor probing a hash
+    touches exactly one shard. At 16 bits/key and 2048 shards, a
+    10^10-key seen set is 32 GB total / 16 MB per shard — the engine
+    never broadcasts it: shards are SNAPSHOT FILES on the checkpoint
+    store, probe tasks are repartitioned by shard and read only theirs
+    (split_by_sharded_files below), and only DIRTY shards are rewritten
+    per wave. The driver holds the shards resident for the incremental
+    merge (32 GB = a driver-sized box at the extreme; an mmap swap
+    touches only this class).
+
+    ``n_shards`` MUST be a power of two: shard id is computed as
+    uint64(hash) % S in numpy and pmod(hash, S) in Spark SQL, and the
+    two agree for signed hashes exactly when S divides 2^64.
     """
 
     def __init__(self, n_shards: int, n_bits_per_shard: int, k: int = 7):
+        assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
         self.n_shards = n_shards
+        self.n_bits_per_shard = n_bits_per_shard
+        self.k = k
         self.shards = [BloomFilter(n_bits_per_shard, k) for _ in range(n_shards)]
 
     def _sid(self, hashes: np.ndarray) -> np.ndarray:
@@ -185,3 +200,114 @@ class ShardedBloom:
             m = sid == s
             out[m] = self.shards[int(s)].contains_many(np.asarray(hashes)[m])
         return out
+
+    def merge_delta_(self, other: "ShardedBloom") -> list[int]:
+        """OR another sharded sketch in; returns the DIRTY shard ids
+        (shards whose bits actually changed) so the caller snapshots
+        only those — per-wave sketch write I/O is bounded by the delta's
+        shard coverage, not the sketch size."""
+        assert other.n_shards == self.n_shards
+        dirty = []
+        for s, (mine, theirs) in enumerate(zip(self.shards, other.shards)):
+            if np.any(theirs.bits & ~mine.bits):
+                np.bitwise_or(mine.bits, theirs.bits, out=mine.bits)
+                dirty.append(s)
+        return dirty
+
+
+def merged_sharded_sketch(df: DataFrame, hash_col: str, n_shards: int,
+                          bits_per_shard: int, k: int = 7) -> ShardedBloom:
+    """Distributed build of a ShardedBloom: repartition by shard id (each
+    shard lands in exactly one task), build per-shard bitmaps in numpy,
+    collect one (shard, bitmap) row per non-empty shard for the driver
+    OR-merge. Collected bytes = non-empty shards × shard size."""
+    spark = df.sparkSession
+    P = min(n_shards, spark.sparkContext.defaultParallelism)
+    parted = df.select(hash_col).repartition(
+        P, F.pmod(F.col(hash_col), F.lit(n_shards)))
+
+    def build(batches):
+        local: dict[int, BloomFilter] = {}
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            sid = (h.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+            for s in np.unique(sid):
+                bf = local.setdefault(int(s), BloomFilter(bits_per_shard, k))
+                bf.add_many(h[sid == s])
+        yield pd.DataFrame({
+            "shard": np.asarray(list(local.keys()), dtype=np.int32),
+            "bitmap": [b.bits.tobytes() for b in local.values()],
+        })
+
+    sk = ShardedBloom(n_shards, bits_per_shard, k)
+    for r in parted.mapInPandas(build, "shard int, bitmap binary").collect():
+        sk.shards[int(r["shard"])].merge_(r["bitmap"])
+    return sk
+
+
+# per-executor-process cache of immutable shard snapshot files (paths are
+# versioned, so a path's content never changes); bounded FIFO eviction
+_SHARD_FILE_CACHE: dict[str, np.ndarray] = {}
+_SHARD_FILE_CACHE_MAX = 32
+
+
+def _shard_bits_cached(path: str) -> np.ndarray:
+    bits = _SHARD_FILE_CACHE.get(path)
+    if bits is None:
+        with open(path, "rb") as fh:
+            bits = np.frombuffer(fh.read(), dtype=np.uint8)
+        while len(_SHARD_FILE_CACHE) >= _SHARD_FILE_CACHE_MAX:
+            _SHARD_FILE_CACHE.pop(next(iter(_SHARD_FILE_CACHE)))
+        _SHARD_FILE_CACHE[path] = bits
+    return bits
+
+
+class ShardedSketchFiles:
+    """Probe handle over a sharded-sketch SNAPSHOT: (shard → bin path).
+
+    Probing repartitions the candidates by shard id, so each task needs
+    only its shards' files — read from the (shared) checkpoint store
+    and cached per executor process. No driver broadcast of sketch bits
+    at any size; per-task sketch traffic is bounded by shard size.
+    A shard absent from the index has never been written = empty =
+    definitely-unseen (correct: dirty-only snapshots skip untouched
+    shards, and an untouched shard holds no keys).
+    """
+
+    def __init__(self, n_shards: int, n_bits_per_shard: int,
+                 index: dict[int, str], k: int = 7):
+        assert n_shards & (n_shards - 1) == 0
+        self.n_shards = n_shards
+        self.n_bits_per_shard = n_bits_per_shard
+        self.index = {int(s): p for s, p in index.items()}
+        self.k = k
+
+    def split(self, candidates: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        from pyspark.sql.types import BooleanType, StructField, StructType
+        spark = candidates.sparkSession
+        n_shards, n_bits, k = self.n_shards, self.n_bits_per_shard, self.k
+        b_index = spark.sparkContext.broadcast(self.index)  # tiny dict
+        P = min(n_shards, spark.sparkContext.defaultParallelism)
+        parted = candidates.repartition(
+            P, F.pmod(F.col(hash_col), F.lit(n_shards)))
+        out_schema = StructType(
+            candidates.schema.fields + [StructField("maybe_seen", BooleanType())])
+
+        def probe(batches):
+            idx = b_index.value
+            for pdf in batches:
+                h = pdf[hash_col].to_numpy(dtype=np.int64)
+                sid = (h.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+                out = np.zeros(len(h), dtype=bool)
+                for s in np.unique(sid):
+                    path = idx.get(int(s))
+                    if path is None:
+                        continue  # never-written shard = empty
+                    bf = BloomFilter(n_bits, k, _shard_bits_cached(path))
+                    m = sid == s
+                    out[m] = bf.contains_many(h[m])
+                res = pdf.copy()
+                res["maybe_seen"] = out
+                yield res
+
+        return parted.mapInPandas(probe, out_schema)

@@ -131,6 +131,35 @@ class SnapshotStore:
         with open(path, "rb") as fh:
             return fh.read()
 
+    # sharded seen-sketch (operators/seen.ShardedBloom): per-shard bin
+    # files, versioned so they're immutable (executor probe caches key on
+    # path), plus a tiny JSON index {shard: latest bin path} per wave —
+    # only DIRTY shards get a new file, clean shards keep their old path
+    def write_sketch_shard(self, bits: bytes, shard: int, iteration: int) -> str:
+        p = os.path.join(self.root, "seen_sketch",
+                         f"shard{shard:05d}_v{iteration:05d}.bin")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(bits)
+        os.replace(tmp, p)
+        return p
+
+    def write_sketch_index(self, index: dict[int, str], iteration: int) -> str:
+        p = os.path.join(self.root, "seen_sketch", f"v{iteration:05d}.json")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(s): path for s, path in index.items()}, fh)
+        os.replace(tmp, p)
+        return p
+
+    def read_sketch_index(self, path: str | None) -> dict[int, str] | None:
+        if not path or not path.endswith(".json") or not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return {int(s): p for s, p in json.load(fh).items()}
+
     # -- data files ----------------------------------------------------------
     def pending_path(self, iteration: int) -> str:
         return os.path.join(self.root, "pending", f"pending_{iteration:05d}.parquet")

@@ -215,10 +215,6 @@ class CrawlEngine:
             row = robots.agg(F.max("crawl_delay_ms")).collect()[0][0]
             max_delay = max(int(row or 0), DEFAULT_CRAWL_DELAY_MS)
         self._min_host_budget = max(1, cfg.iter_window_ms // max_delay)
-        # incremental seen sketch (J1-J3): sized for maxPages once;
-        # capped at 2^30 bits (128 MB) — beyond that the FP rate
-        # degrades gracefully (the exact confirm join absorbs FPs) and
-        # the 10^10 path is the ShardedBloom layout (operators/seen.py)
         # payload bucket pruning (sources/payload.py): active when the
         # config says the tables are bucketed AND the column is present
         self._pages_bucketed = (
@@ -226,17 +222,34 @@ class CrawlEngine:
         self._images_bucketed = (
             cfg.payload_buckets > 0 and images is not None
             and "bucket" in images.columns)
+        # incremental seen sketch (J1-J3): sized for maxPages once.
+        # Under the cap: one driver-held Bloom, broadcast per probe.
+        # Over the cap: the SHARDED layout (operators/seen.ShardedBloom)
+        # — power-of-two shards snapshotted as per-shard files (dirty
+        # shards only) and probed shard-aligned from the store, so
+        # neither broadcast size nor the per-wave snapshot write scales
+        # with the full sketch.
         self._sketch_enabled = cfg.max_pages >= cfg.seen_sketch_min_pages
-        self._sketch_bits = min(
-            BloomFilter.sized_for(cfg.max_pages, cfg.bloom_bits_per_key).n_bits,
-            1 << 30)
-        self._seen_sketch: BloomFilter | None = None
+        sized_bits = BloomFilter.sized_for(
+            cfg.max_pages, cfg.bloom_bits_per_key).n_bits
+        self._sketch_sharded = sized_bits > cfg.seen_sketch_cap_bits
+        if self._sketch_sharded:
+            self._shard_bits = cfg.seen_sketch_shard_bits
+            self._n_shards = max(2, sized_bits // self._shard_bits)
+            self._sketch_bits = self._n_shards * self._shard_bits
+        else:
+            self._sketch_bits = min(sized_bits, cfg.seen_sketch_cap_bits)
+        self._seen_sketch = None  # BloomFilter | ShardedBloom
+        self._sketch_index: dict[int, str] = {}  # shard -> latest bin file
 
     def _ensure_seen_sketch(self, m: Manifest, seen_prev) -> None:
         """Load the wave-start sketch: from the driver (steady state),
         from the checkpoint snapshot (resume), or by a one-time rebuild
         from the frontier log (resume from a pre-sketch manifest)."""
         if self._seen_sketch is not None:
+            return
+        if self._sketch_sharded:
+            self._ensure_sharded_sketch(m, seen_prev)
             return
         bits = self.store.read_sketch(m.seen_sketch_path)
         if bits is not None and len(bits) * 8 == self._sketch_bits:
@@ -249,6 +262,47 @@ class CrawlEngine:
                 seen_prev, "url_hash", self._sketch_bits)
         else:
             self._seen_sketch = BloomFilter(self._sketch_bits)
+
+    def _ensure_sharded_sketch(self, m: Manifest, seen_prev) -> None:
+        """Sharded counterpart: load the per-shard snapshot via its JSON
+        index; on a resume without one, rebuild from the seen projection
+        AND snapshot the rebuilt shards immediately — the wave's probe
+        reads shard FILES, so the index must reflect the full seen set
+        before any probe (a stale/missing shard would mean Bloom false
+        negatives, i.e. lost dedup)."""
+        import numpy as np
+
+        from ..operators.seen import ShardedBloom, merged_sharded_sketch
+
+        index = self.store.read_sketch_index(m.seen_sketch_path)
+        if index is not None:
+            sk = ShardedBloom(self._n_shards, self._shard_bits)
+            ok = True
+            for s, path in index.items():
+                bits = self.store.read_sketch(path)
+                if bits is None or len(bits) * 8 != self._shard_bits or \
+                        not 0 <= s < self._n_shards:
+                    ok = False
+                    break
+                sk.shards[s].bits = np.frombuffer(
+                    bits, dtype=np.uint8).copy()
+            if ok:
+                self._seen_sketch = sk
+                self._sketch_index = dict(index)
+                return
+        if seen_prev is not None and m.pages_fetched > 0:
+            sk = merged_sharded_sketch(
+                seen_prev, "url_hash", self._n_shards, self._shard_bits)
+            self._sketch_index = {}
+            for s, shard in enumerate(sk.shards):
+                if shard.bits.any():
+                    self._sketch_index[s] = self.store.write_sketch_shard(
+                        shard.bits.tobytes(), s, m.iter)
+            self.store.write_sketch_index(self._sketch_index, m.iter)
+            self._seen_sketch = sk
+        else:
+            self._seen_sketch = ShardedBloom(self._n_shards, self._shard_bits)
+            self._sketch_index = {}
 
     # ------------------------------------------------------------------ seed
     def _seed_pending(self) -> DataFrame:
@@ -696,7 +750,17 @@ class CrawlEngine:
         if self._sketch_enabled:
             self._ensure_seen_sketch(m, seen_prev)
             if m.pages_fetched >= cfg.seen_sketch_min_pages:
-                sketch = self._seen_sketch
+                if self._sketch_sharded:
+                    # probe handle over the shard SNAPSHOT files (state
+                    # through wave i-1 — exactly the seen set this
+                    # anti-join is against; the in-memory merge below
+                    # happens after the pending write consumes this)
+                    from ..operators.seen import ShardedSketchFiles
+                    sketch = ShardedSketchFiles(
+                        self._n_shards, self._shard_bits,
+                        dict(self._sketch_index))
+                else:
+                    sketch = self._seen_sketch
         new_pending = anti_join_seen(children, seen_prev, sketch)
         new_pending = new_pending.join(
             seen_delta.select("url_hash"), "url_hash", "left_anti"
@@ -803,12 +867,26 @@ class CrawlEngine:
         # off the fetch cache, independent of crawl history
         sketch_path = m.seen_sketch_path
         if self._sketch_enabled:
-            delta_sk = merged_sketch(
-                seen_delta.select("url_hash"), "url_hash",
-                self._seen_sketch.n_bits)
-            self._seen_sketch.merge_(delta_sk.bits)
-            sketch_path = self.store.write_sketch(
-                self._seen_sketch.bits.tobytes(), i)
+            if self._sketch_sharded:
+                from ..operators.seen import merged_sharded_sketch
+                delta_sk = merged_sharded_sketch(
+                    seen_delta.select("url_hash"), "url_hash",
+                    self._n_shards, self._shard_bits)
+                # snapshot only the DIRTY shards; clean shards keep
+                # their previous (immutable) file — per-wave snapshot
+                # I/O is bounded by the delta's shard coverage
+                for s in self._seen_sketch.merge_delta_(delta_sk):
+                    self._sketch_index[s] = self.store.write_sketch_shard(
+                        self._seen_sketch.shards[s].bits.tobytes(), s, i)
+                sketch_path = self.store.write_sketch_index(
+                    self._sketch_index, i)
+            else:
+                delta_sk = merged_sketch(
+                    seen_delta.select("url_hash"), "url_hash",
+                    self._seen_sketch.n_bits)
+                self._seen_sketch.merge_(delta_sk.bits)
+                sketch_path = self.store.write_sketch(
+                    self._seen_sketch.bits.tobytes(), i)
             _mark("sketch_update")
 
         # metrics: per-partition fetch lineage rows + a global (-1) row,
