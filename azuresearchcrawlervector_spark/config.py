@@ -95,6 +95,14 @@ class CrawlConfig:
     # (AbotCrawler.cs:165) with a 600 s floor so tiny-budget crawls on a
     # loaded machine aren't killed mid-wave
     crawl_timeout_s: int | None = None
+    # P3 — the reference's GLOBAL RateLimiter (≥4 s between embedding
+    # calls, RateLimiter.cs:17-35) as a per-wave batch budget: at most
+    # this many documents are embedded+emitted per wave, the rest defer
+    # (by priority) to an embed queue that drains in later waves. None
+    # (default) = unlimited, the faithful behavior for the synthetic
+    # embedder; the cap is implemented with the range-partitioned exact
+    # top-K (no global unpartitioned Window).
+    embed_budget_per_wave: int | None = None
     # payload-table bucket layout (sources/payload.py): >0 means the
     # pages/images tables carry a `bucket` partition column equal to
     # pmod(xxhash64(url|image_id), payload_buckets); each wave's fetch

@@ -54,6 +54,10 @@ class Manifest:
     # incremental seen-sketch snapshot (Bloom bits through this wave);
     # None = rebuild from the frontier log on resume (old manifests)
     seen_sketch_path: str | None = None
+    # P3 embed budget: documents fetched but deferred past the per-wave
+    # embed cap (full rewrite per wave, like pending)
+    embed_queue_path: str | None = None
+    embed_queue_count: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)

@@ -77,6 +77,11 @@ PENDING_SCHEMA = StructType([
 
 SEEN_SCHEMA = "url_hash long, url string, iter int"
 
+# P3 embed budget: the columns a fetched-but-deferred document needs to
+# be embedded/validated/emitted in a later wave
+EMBED_QUEUE_COLS = ("url", "url_hash", "seq", "depth", "priority",
+                    "title", "content", "image_id")
+
 
 METRICS_SCHEMA = ("iter int, partition_id int, urls_in long, deduped long, "
                   "fetched long, failed long, new_links long, wall_ms double")
@@ -392,6 +397,120 @@ class CrawlEngine:
             out = out.unionByName(p)
         return out
 
+    # ------------------------------------------------------------- documents
+    def _embed_and_validate(self, emit_rows: DataFrame, keys_src: DataFrame,
+                            small_wave: bool, pending_n: int) -> DataFrame:
+        """Embed + image-validate the rows being emitted this wave:
+        id = sha2(url,512) (T5), truncation-before-embed (T4), dual
+        pseudo-embeddings (S10), per-row image PSNR/caption invariant
+        (input_hint). ``keys_src`` supplies the image_id key set for the
+        images-table probe (bucket pruning + broadcast/sketch filter)."""
+        cfg = self.cfg
+        docs = (
+            emit_rows
+            .withColumn("id", doc_id_col("url"))
+            .withColumn("_vecs", self._embed(
+                F.substring("title", 1, 8000), F.substring("content", 1, 8000)))
+            .withColumn("title_vector", F.col("_vecs.title_vector"))
+            .withColumn("content_vector", F.col("_vecs.content_vector"))
+            .drop("_vecs")
+        )
+        if self.validate_images:
+            # probe the big images table with THIS wave's image_ids (the
+            # bytes column never crosses a shuffle): small waves broadcast
+            # the key set; big waves sketch-filter the scan (executor-side,
+            # no driver broadcast build). The decode/PSNR UDF runs on the
+            # matched sliver; the COMPACT validation rows then join back.
+            images_src = self.images
+            if self._images_bucketed and pending_n < 4 * cfg.payload_buckets:
+                from ..sources.payload import (
+                    prune_by_buckets, wave_bucket_ids,
+                )
+                img_buckets = wave_bucket_ids(
+                    keys_src.where(F.col("image_id").isNotNull()),
+                    F.xxhash64("image_id"), cfg.payload_buckets)
+                images_src = prune_by_buckets(images_src, img_buckets)
+            if small_wave:
+                img_keys = keys_src.select("image_id").where(
+                    F.col("image_id").isNotNull()).distinct()
+                img_matched = images_src.join(
+                    F.broadcast(img_keys), on="image_id", how="inner")
+            else:
+                img_sketch = merged_sketch(
+                    keys_src.select(F.xxhash64("image_id").alias("ih")), "ih",
+                    BloomFilter.sized_for(max(pending_n, 1024),
+                                          cfg.bloom_bits_per_key).n_bits,
+                )
+                img_matched = split_by_sketch(
+                    images_src.withColumn("ih", F.xxhash64("image_id")),
+                    img_sketch, "ih",
+                ).filter(F.col("maybe_seen")).drop("maybe_seen", "ih")
+            img_checked = with_image_validation(img_matched).withColumn(
+                "caption_ok",
+                F.col("caption") == F.concat(
+                    F.lit("synthetic caption for "), F.col("image_id")),
+            ).select("image_id", "img_ok", "psnr_db", "caption_ok")
+            if small_wave:
+                docs = docs.join(F.broadcast(img_checked), on="image_id", how="left")
+            else:
+                docs = docs.join(img_checked, on="image_id", how="left")
+        else:
+            docs = (docs.withColumn("img_ok", F.lit(None).cast("boolean"))
+                        .withColumn("psnr_db", F.lit(None).cast("double"))
+                        .withColumn("caption_ok", F.lit(None).cast("boolean")))
+        return docs.select(
+            "id", "url", "seq", "depth", "title", "content",
+            "title_vector", "content_vector", "image_id",
+            "img_ok", "psnr_db", "caption_ok",
+        )
+
+    def _drain_wave(self, m: Manifest) -> Manifest:
+        """P3 drain: fetching is finished but deferred documents remain
+        in the embed queue — emit up to the per-wave budget (by
+        priority) until the queue empties. Same commit protocol as a
+        fetch wave: data files first, manifest last; a crash re-runs the
+        drain deterministically."""
+        from pyspark.sql import Observation
+        spark, cfg, i = self.spark, self.cfg, m.iter + 1
+        t0 = time.monotonic()
+        budget = cfg.embed_budget_per_wave
+        backlog = spark.read.parquet(m.embed_queue_path)
+        unp: list = []
+        if budget > cfg.topk_range_threshold:
+            due = self._exact_topk_by_priority(backlog, budget, unp)
+        else:
+            due = backlog.orderBy("priority").limit(budget)
+        due = due.persist()
+        unp.append(due)
+        carry = backlog.join(due.select("url_hash"), "url_hash", "left_anti")
+        small = budget <= cfg.broadcast_wave_threshold
+        docs_out = self._embed_and_validate(
+            due, due, small, max(m.embed_queue_count, 1))
+        doc_path = self.store.write_delta(docs_out, "documents", i)
+        obs = Observation(f"equeue_{i}")
+        carry_obs = carry.observe(obs, F.count(F.lit(1)).alias("n"))
+        queue_path = self.store.write_delta(carry_obs, "embed_queue", i)
+        queue_n = int(obs.get["n"])
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        met_rows = [[i, -1, 0, None, 0, 0, None, wall_ms]]
+        met_path = self.store.write_metrics_rows(met_rows, i)
+        deltas = {k: list(v) for k, v in m.deltas.items()}
+        deltas["documents"] = deltas.get("documents", []) + [doc_path]
+        deltas["metrics"] = deltas.get("metrics", []) + [met_path]
+        m2 = Manifest(
+            iter=i, pending_path=m.pending_path, deltas=deltas,
+            pages_fetched=m.pages_fetched, docs_emitted=m.docs_emitted,
+            pending_count=m.pending_count, metrics_rows=met_rows,
+            finished=(queue_n == 0), seen_sketch_path=m.seen_sketch_path,
+            embed_queue_path=queue_path, embed_queue_count=queue_n,
+        )
+        self.store.commit(m2)
+        self.console.write_debug_line(
+            f"drain wave {i}: queue'={queue_n} wall_ms={wall_ms:.0f}")
+        for df in unp:
+            df.unpersist()
+        return m2
+
     # ------------------------------------------------------------------ wave
     def _wave(self, m: Manifest) -> Manifest:
         """One frontier wave. Job budget per wave (the fixed overhead that
@@ -412,6 +531,9 @@ class CrawlEngine:
 
         remaining = cfg.max_pages - m.pages_fetched
         if remaining <= 0 or m.pending_count == 0:
+            if (cfg.embed_budget_per_wave is not None and not self.dry_run
+                    and m.embed_queue_count > 0):
+                return self._drain_wave(m)
             m.finished = True
             self.store.commit(m)
             return m
@@ -616,68 +738,34 @@ class CrawlEngine:
         else:
             extracted_seq = extracted.withColumn("seq", F.lit(None).cast("int"))
 
-        # documents: id = sha2(url,512) (T5), truncation-before-embed (T4),
-        # pseudo-embeddings (S10), image fetch invariant (input_hint)
-        docs = (
-            extracted_seq
-            .filter(F.length("content") > 0)  # F4 empty-content skip
-            .withColumn("id", doc_id_col("url"))
-            .withColumn("_vecs", self._embed(
-                F.substring("title", 1, 8000), F.substring("content", 1, 8000)))
-            .withColumn("title_vector", F.col("_vecs.title_vector"))
-            .withColumn("content_vector", F.col("_vecs.content_vector"))
-            .drop("_vecs")
-        )
-        if self.validate_images:
-            # probe the big images table with THIS wave's image_ids (the
-            # bytes column never crosses a shuffle): small waves broadcast
-            # the key set; big waves sketch-filter the scan (executor-side,
-            # no driver broadcast build). The decode/PSNR UDF runs on the
-            # matched sliver; the COMPACT validation rows then join back.
-            images_src = self.images
-            if self._images_bucketed and pending_n < 4 * cfg.payload_buckets:
-                from ..sources.payload import (
-                    prune_by_buckets, wave_bucket_ids,
-                )
-                img_buckets = wave_bucket_ids(
-                    extracted.where(F.col("image_id").isNotNull()),
-                    F.xxhash64("image_id"), cfg.payload_buckets)
-                # extracted is persisted — this bounded collect also
-                # warms its cache for the docs/pending writes below
-                images_src = prune_by_buckets(images_src, img_buckets)
-            if small_wave:
-                img_keys = extracted.select("image_id").where(
-                    F.col("image_id").isNotNull()).distinct()
-                img_matched = images_src.join(
-                    F.broadcast(img_keys), on="image_id", how="inner")
+        # documents: F4 empty-content skip, then the P3 embed budget
+        # split (opt-in): at most embed_budget_per_wave docs are
+        # embedded+emitted this wave, the rest defer BY PRIORITY to the
+        # embed queue (drained by _drain_wave once fetching is done).
+        emit_cand = extracted_seq.filter(F.length("content") > 0)
+        budget = None if self.dry_run else cfg.embed_budget_per_wave
+        if budget is not None:
+            emit_cand = emit_cand.select(*EMBED_QUEUE_COLS)
+            if m.embed_queue_path:
+                backlog = spark.read.parquet(m.embed_queue_path)
+                emit_cand = backlog.unionByName(emit_cand)
+            if budget > cfg.topk_range_threshold:
+                due_docs = self._exact_topk_by_priority(
+                    emit_cand, budget, to_unpersist)
             else:
-                img_sketch = merged_sketch(
-                    extracted.select(F.xxhash64("image_id").alias("ih")), "ih",
-                    BloomFilter.sized_for(max(pending_n, 1024),
-                                          cfg.bloom_bits_per_key).n_bits,
-                )
-                img_matched = split_by_sketch(
-                    images_src.withColumn("ih", F.xxhash64("image_id")),
-                    img_sketch, "ih",
-                ).filter(F.col("maybe_seen")).drop("maybe_seen", "ih")
-            img_checked = with_image_validation(img_matched).withColumn(
-                "caption_ok",
-                F.col("caption") == F.concat(
-                    F.lit("synthetic caption for "), F.col("image_id")),
-            ).select("image_id", "img_ok", "psnr_db", "caption_ok")
-            if small_wave:
-                docs = docs.join(F.broadcast(img_checked), on="image_id", how="left")
-            else:
-                docs = docs.join(img_checked, on="image_id", how="left")
+                due_docs = emit_cand.orderBy("priority").limit(budget)
+            due_docs = due_docs.persist()
+            to_unpersist.append(due_docs)
+            carry_docs = emit_cand.join(
+                due_docs.select("url_hash"), "url_hash", "left_anti")
         else:
-            docs = (docs.withColumn("img_ok", F.lit(None).cast("boolean"))
-                        .withColumn("psnr_db", F.lit(None).cast("double"))
-                        .withColumn("caption_ok", F.lit(None).cast("boolean")))
-        docs_out = docs.select(
-            "id", "url", "seq", "depth", "title", "content",
-            "title_vector", "content_vector", "image_id",
-            "img_ok", "psnr_db", "caption_ok",
-        )
+            due_docs, carry_docs = emit_cand, None
+        # image keys come from the cached `extracted` on normal waves
+        # (budget off) so the bounded collects reuse the cache; with the
+        # budget on, keys must cover the backlog too → the due set itself
+        keys_src = extracted if budget is None else due_docs
+        docs_out = self._embed_and_validate(
+            due_docs, keys_src, small_wave, pending_n)
         if self.dry_run:
             docs_out = docs_out.limit(0)
 
@@ -842,11 +930,14 @@ class CrawlEngine:
             # politeness budgets can't starve forever (budget ≥ 1/host),
             # so an empty wave means the frontier is exhausted: finish
             # WITHOUT referencing this wave's (empty) files — same orphan
-            # state a crash would leave.
-            m.finished = True
-            self.store.commit(m)
+            # state a crash would leave. With the embed budget on, any
+            # deferred documents still drain first.
             for df in to_unpersist:
                 df.unpersist()
+            if budget is not None and m.embed_queue_count > 0:
+                return self._drain_wave(m)
+            m.finished = True
+            self.store.commit(m)
             return m
 
         # pending counts ride the write job via observe() — no extra action
@@ -861,6 +952,16 @@ class CrawlEngine:
         pending_next_n = int(obs.get["n"])
         new_links_n = int(obs.get["new"] or 0)
         _mark("pending_write")
+
+        # P3: persist the deferred-embed queue (full rewrite, like
+        # pending; counts ride the write via observe)
+        queue_path, queue_n = m.embed_queue_path, m.embed_queue_count
+        if budget is not None:
+            qobs = Observation(f"equeue_{i}")
+            carry_q = carry_docs.observe(qobs, F.count(F.lit(1)).alias("n"))
+            queue_path = self.store.write_delta(carry_q, "embed_queue", i)
+            queue_n = int(qobs.get["n"])
+            _mark("embed_queue_write")
 
         # fold THIS wave's seen delta into the incremental sketch and
         # snapshot it (bits file, manifest-referenced) — O(delta) work
@@ -939,6 +1040,8 @@ class CrawlEngine:
             metrics_rows=met_rows,
             finished=False,
             seen_sketch_path=sketch_path,
+            embed_queue_path=queue_path,
+            embed_queue_count=queue_n,
         )
         self.store.commit(m2)
         _mark("commit")

@@ -116,3 +116,42 @@ def test_robots_disallow_enforced(spark, tmp_ckpt):
     assert not any("/contact/office" in u for u in urls)
     assert any(u.endswith("/contact.html") for u in urls)  # page itself allowed
     assert len(urls) == 11  # 19 fixture pages minus 8 disallowed offices
+
+
+def test_embed_budget_per_wave(spark, tmp_path):
+    """P3 wired into the engine: ≤ budget documents embedded/emitted per
+    wave, overflow carries in the embed queue (by priority) and drains
+    after fetching ends; the final documents table is identical to the
+    unbudgeted crawl (seq assigned at fetch time, unchanged)."""
+    from azuresearchcrawlervector_spark.sources.fixtures import (
+        test_website as website1_graph,
+    )
+    from azuresearchcrawlervector_spark.sources.synthetic import images_df
+
+    g = website1_graph()
+    pages, images = pages_df(spark, g), images_df(spark, g)
+    robots = robots_df(spark, ["testsite1.example.com"])
+
+    def run(tag, **kw):
+        cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD, **kw)
+        eng = CrawlEngine(spark, pages, cfg, str(tmp_path / tag),
+                          images=images, robots=robots)
+        return eng.run()
+
+    res_b = run("budget", embed_budget_per_wave=3)
+    res_n = run("plain")
+    # per-wave emission cap honored in every documents delta file
+    per_wave = [spark.read.parquet(p).count()
+                for p in res_b.manifest.deltas["documents"]]
+    assert all(n <= 3 for n in per_wave), per_wave
+    assert sum(per_wave) == 19
+    # the queue drained and drain waves happened (19 docs / 3 per wave
+    # needs more waves than the fetch alone)
+    assert res_b.manifest.embed_queue_count == 0
+    assert res_b.manifest.finished
+    assert len(per_wave) > len(res_n.manifest.deltas["documents"])
+    a = sorted((r["seq"], r["url"], r["id"], r["title"], r["img_ok"])
+               for r in res_b.documents(spark).collect())
+    b = sorted((r["seq"], r["url"], r["id"], r["title"], r["img_ok"])
+               for r in res_n.documents(spark).collect())
+    assert a == b and len(a) == 19

@@ -77,14 +77,19 @@ def main():
             wb = wave_bucket_ids(wave_r, F.col("url_hash"), buckets)
 
             def fetch_time(table_df):
+                # sum(length(html)) forces the payload column through
+                # the scan — a bare count() would let Catalyst prune
+                # html and time only the key columns
                 best = float("inf")
                 for _ in range(repeats):
                     t0 = time.monotonic()
-                    got = (table_df.select("url", "status", "html")
+                    row = (table_df.select("url", "status", "html")
                            .join(F.broadcast(wave_r.select("url")), "url")
-                           .count())
+                           .agg(F.count("*").alias("n"),
+                                F.sum(F.length("html")).alias("payload"))
+                           ).collect()[0]
                     best = min(best, time.monotonic() - t0)
-                    assert got == wave_n, (got, wave_n)
+                    assert row["n"] == wave_n, (row["n"], wave_n)
                 return best
 
             t_flat = fetch_time(spark.read.parquet(flat_p))
