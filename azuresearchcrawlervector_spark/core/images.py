@@ -4,15 +4,16 @@ The container has no PIL/libjpeg, so:
 
 - ``png``: a real, spec-compliant PNG codec (zlib + struct; 8-bit RGB,
   filter 0). Output decodes in any standard viewer. Lossless.
-- ``qpng`` ("fake jpeg"): a deterministic LOSSY codec standing in for
-  JPEG — pixels quantized to a step of 4 (2 LSBs dropped) then
-  PNG-encoded. The information loss is real, so the PSNR ≥ 40 dB
-  invariant from BASELINE.json input_hint is a genuine check
-  (uniform quantization error ⇒ PSNR ≈ 46-48 dB).
-
-NOTE (stub disclosure): real JPEG DCT decode is NOT implemented —
-``qpng`` is the clearly-marked deterministic stand-in; swapping in
-PIL/libjpeg-turbo changes only this module, no Spark-side plumbing.
+- ``jpeg``: a REAL baseline JFIF codec (core/jpeg.py — sequential DCT,
+  standard Annex K quant/Huffman tables, 4:4:4). The fixture/flagship
+  paths use it, so the PSNR ≥ 40 dB invariant runs against genuine
+  lossy-DCT artifacts. Decode sniffs the legacy ``QPNG`` magic for
+  artifacts written by earlier builds.
+- ``qpng``: a deterministic cheap LOSSY codec (pixels quantized to step
+  4 then PNG-encoded) retained as the HIGH-THROUGHPUT stand-in for the
+  120k-row bench — the pure-Python JPEG Huffman layer is ~ms/image; a
+  production deployment swaps core/jpeg.py for libjpeg-turbo with no
+  Spark-side changes (functions/imagefn.py is codec-agnostic).
 
 Also here: PSNR and an 8x8 average perceptual hash (phash) used for the
 per-row fetch invariant, and the deterministic pixel generator that
@@ -123,16 +124,31 @@ def qpng_decode(data: bytes) -> np.ndarray:
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(pixels)
-    if fmt in ("jpeg", "qpng"):
+    if fmt == "jpeg":
+        from .jpeg import jpeg_encode
+        # quality 97: worst-case roundtrip PSNR ≈ 41.5 dB on the
+        # synthetic fixture images — the input_hint invariant is
+        # PSNR ≥ 40 for lossy formats, so the quality must clear it
+        # with the loss still being real (quality 90 measures ~36-40)
+        return jpeg_encode(pixels, quality=97)
+    if fmt == "qpng":
         return qpng_encode(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
+    data = bytes(data)
     if fmt == "png":
-        return png_decode(bytes(data))
-    if fmt in ("jpeg", "qpng"):
-        return qpng_decode(bytes(data))
+        return png_decode(data)
+    if fmt == "jpeg":
+        # artifacts written by earlier builds used the qpng stand-in
+        # under the jpeg fmt — sniff the magic for compatibility
+        if data[:4] == b"QPNG":
+            return qpng_decode(data)
+        from .jpeg import jpeg_decode
+        return jpeg_decode(data)
+    if fmt == "qpng":
+        return qpng_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -1,0 +1,474 @@
+"""Baseline JFIF (JPEG) codec — pure Python/numpy, no libjpeg/PIL.
+
+Sequential baseline DCT, 8-bit, 3 components, 4:4:4 (no subsampling),
+standard quantization + Huffman tables from the public JPEG standard
+(ITU-T T.81 Annex K), libjpeg-compatible quality scaling. The encoder
+emits a spec-compliant JFIF stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI with
+0xFF byte stuffing); the decoder parses the same marker set (plus
+skip-over for APPn/COM) and inverts entropy coding, dequantization,
+IDCT and color conversion.
+
+This replaces the round-1/2 ``qpng`` stand-in for the ``jpeg`` fmt on
+the fixture/flagship paths, so the PSNR ≥ 40 dB fetch invariant
+(BASELINE.json input_hint) runs against real lossy-DCT artifacts.
+``qpng`` remains available as the high-throughput stand-in for the
+120k-row bench (per-symbol Huffman in Python is ~ms/image; a production
+deployment swaps this module for libjpeg-turbo with no Spark-side
+changes — functions/imagefn.py is codec-agnostic).
+
+Bit-exactness contract (tests/test_images.py): decode(encode(px)) ==
+reconstruct(px), where reconstruct() replicates the encoder's model
+(quantize → dequantize → IDCT → color) without entropy coding — i.e.
+the Huffman/bitstream layer is proven to be a lossless inverse.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- ITU-T T.81 Annex K.1: base quantization tables (zigzag=False, row-major)
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zigzag scan: ZIGZAG[k] = row-major index of the k-th zigzag position
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# --- Annex K.3: standard Huffman tables (bits[1..16], values)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal DCT-II matrix: C[u, x] = a(u) cos((2x+1) u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+_CT = _C.T
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(symbol → (code, length)) per the canonical JPEG assignment."""
+    assert len(bits) == 16 and sum(bits) == len(vals)
+    codes = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """((length, code) → symbol) lookup for the decoder."""
+    enc = _canonical_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+_ENC_TABLES = [
+    (_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+     _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)),
+    (_canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+     _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)),
+]
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100 → per-entry scale, clipped 1..255."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., 0].astype(np.float64), px[..., 1].astype(np.float64),
+               px[..., 2].astype(np.float64))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(chan: np.ndarray) -> np.ndarray:
+    """(H, W) channel (H, W multiples of 8) → (n_blocks, 8, 8), row-major
+    block order."""
+    h, w = chan.shape
+    return (chan.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    by, bx = h // 8, w // 8
+    return (blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(h, w))
+
+
+def _quantized_blocks(px: np.ndarray, quality: int):
+    """Encoder model: pad → level shift → DCT → quantize. Returns
+    (quantized zigzag coeffs per component [(n_blocks, 64) int32],
+    padded h, padded w, quant tables)."""
+    h, w = px.shape[:2]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ycc = _rgb_to_ycbcr(px)
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    qlum = _scaled_quant(QUANT_LUM, quality).reshape(8, 8)
+    qchrom = _scaled_quant(QUANT_CHROM, quality).reshape(8, 8)
+    out = []
+    for c in range(3):
+        qt = qlum if c == 0 else qchrom
+        blocks = _to_blocks(padded[..., c] - 128.0)
+        coeffs = np.einsum("ux,nxy,yv->nuv", _C, blocks, _CT)
+        q = np.round(coeffs / qt).astype(np.int32)
+        out.append(q.reshape(-1, 64)[:, ZIGZAG])
+    return out, ph, pw, (qlum, qchrom)
+
+
+def reconstruct(px: np.ndarray, quality: int = 90) -> np.ndarray:
+    """The encoder's lossy model WITHOUT entropy coding: what a correct
+    decoder must produce bit-for-bit from encode(px, quality)."""
+    h, w = px.shape[:2]
+    comps, ph, pw, (qlum, qchrom) = _quantized_blocks(px, quality)
+    planes = []
+    for c, zz in enumerate(comps):
+        qt = qlum if c == 0 else qchrom
+        coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * qt
+        blocks = np.einsum("xu,nuv,vy->nxy", _CT, coeffs.astype(np.float64), _C)
+        planes.append(_from_blocks(blocks, ph, pw) + 128.0)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_scan(comps: list[np.ndarray]) -> bytes:
+    """Interleaved 1x1 MCU scan: per MCU one block of each component."""
+    bw = _BitWriter()
+    n_mcus = comps[0].shape[0]
+    prev_dc = [0, 0, 0]
+    for mcu in range(n_mcus):
+        for c in range(3):
+            dc_tab, ac_tab = _ENC_TABLES[0 if c == 0 else 1]
+            zz = comps[c][mcu]
+            diff = int(zz[0]) - prev_dc[c]
+            prev_dc[c] = int(zz[0])
+            s = _category(diff)
+            code, ln = dc_tab[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_tab[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+                if k == last_nz:
+                    break
+            if last_nz < 63:
+                code, ln = ac_tab[0x00]  # EOB
+                bw.write(code, ln)
+    return bw.flush()
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([16 * tc + th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def jpeg_encode(px: np.ndarray, quality: int = 90) -> bytes:
+    """HxWx3 uint8 RGB → baseline JFIF bytes."""
+    assert px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
+    h, w = px.shape[:2]
+    comps, _ph, _pw, (qlum, qchrom) = _quantized_blocks(px, quality)
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    for tq, qt in ((0, qlum), (1, qchrom)):
+        payload = bytes([tq]) + bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    # SOF0: 8-bit precision, 3 components, 1x1 sampling, quant table ids
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_segment(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    out += _dht_segment(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+    out += _dht_segment(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+    sos = bytes([3])
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += _encode_scan(comps)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → HxWx3 uint8 RGB. Supports what jpeg_encode
+    emits plus any baseline 1x1-sampled 3-component stream with its own
+    DQT/DHT tables; APPn/COM segments are skipped."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_spec: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tabs: list[tuple[int, int]] = []  # (dc table id, ac table id)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zzq = np.frombuffer(payload[p + 1:p + 65], dtype=np.uint8)
+                tab = np.zeros(64, dtype=np.int32)
+                tab[ZIGZAG] = zzq
+                qt[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if ncomp != 3:
+                raise ValueError("only 3-component images supported")
+            for c in range(3):
+                cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("only 1x1 sampling supported")
+                comp_spec.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDA:  # SOS — entropy data follows
+            for c in range(payload[0]):
+                tabs = payload[2 + 2 * c]
+                scan_tabs.append((tabs >> 4, tabs & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+    if h is None or not scan_tabs:
+        raise ValueError("missing SOF0/SOS")
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_mcus = (ph // 8) * (pw // 8)
+    br = _BitReader(data, pos)
+    coeffs = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(3)]
+    prev_dc = [0, 0, 0]
+    for mcu in range(n_mcus):
+        for c in range(3):
+            dct, act = huff[(0, scan_tabs[c][0])], huff[(1, scan_tabs[c][1])]
+            zz = coeffs[c][mcu]
+            s = _read_huff(br, dct)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc[c] += diff
+            zz[0] = prev_dc[c]
+            k = 1
+            while k < 64:
+                rs = _read_huff(br, act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+    planes = []
+    for c in range(3):
+        tab = qt[comp_spec[c][1]].astype(np.float64)
+        blocks = coeffs[c][:, UNZIGZAG].reshape(-1, 8, 8) * tab
+        px = np.einsum("xu,nuv,vy->nxy", _CT, blocks, _C)
+        planes.append(_from_blocks(px, ph, pw) + 128.0)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]

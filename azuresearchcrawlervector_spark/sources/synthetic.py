@@ -198,7 +198,11 @@ def bench_images_df(spark: SparkSession, pages: DataFrame,
                    "fmt": [], "caption": [], "phash": []}
             for iid, url in zip(pdf["image_id"], pdf["url"]):
                 px = generate_pixels(iid, w, h)
-                fmt = fmt_for(url)
+                # bench scale uses qpng for the lossy half: the real
+                # baseline-JPEG codec (core/jpeg.py, exercised by the
+                # fixture/flagship paths) is pure-Python Huffman —
+                # ~ms/image would dominate a 120k-row crawl bench
+                fmt = "qpng" if fmt_for(url) == "jpeg" else "png"
                 out["image_id"].append(iid)
                 out["bytes"].append(encode(px, fmt))
                 out["w"].append(w)
