@@ -126,3 +126,28 @@ def test_incremental_seen_sketch_exact_and_resumable(spark, tmp_path):
         want = sorted((d["seq"], d["url"]) for d in sim.documents)
         assert got == want
         assert {r["url"] for r in res.seen(spark).collect()} == sim.seen
+
+
+def test_crawl_timeout_leaves_resumable_state(spark, tmp_path):
+    """P5 (AbotCrawler.cs:165 analog): the wall-clock guard stops the
+    loop mid-crawl with finished=False — exactly the state a kill
+    leaves — and run(resume=True) completes to the same result as an
+    uninterrupted crawl."""
+    g = website1_graph()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD,
+                      crawl_timeout_s=1)  # expires during wave 1
+    eng = CrawlEngine(spark, pages_df(spark, g), cfg, str(tmp_path / "t"),
+                      validate_images=False)
+    res = eng.run()
+    assert not res.manifest.finished
+    assert res.manifest.pages_fetched < 19
+    cfg2 = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    eng2 = CrawlEngine(spark, pages_df(spark, g), cfg2, str(tmp_path / "t"),
+                       validate_images=False)
+    res2 = eng2.run(resume=True)
+    assert res2.manifest.finished
+    urls = sorted(r["url"] for r in res2.documents(spark).collect())
+    full = CrawlEngine(spark, pages_df(spark, g), cfg2,
+                       str(tmp_path / "full"), validate_images=False).run()
+    assert urls == sorted(r["url"] for r in full.documents(spark).collect())
+    assert len(urls) == 19
