@@ -115,10 +115,20 @@ def merged_sketch(df: DataFrame, hash_col: str, n_bits: int, k: int = 7) -> Bloo
     return bf
 
 
-def split_by_sketch(candidates: DataFrame, sketch: BloomFilter, hash_col: str = "url_hash") -> DataFrame:
-    """Add ``maybe_seen`` from the broadcast sketch (Arrow-batched probe)."""
+def split_by_sketch(candidates: DataFrame, sketch: BloomFilter,
+                    hash_col: str = "url_hash",
+                    broadcasts: list | None = None) -> DataFrame:
+    """Add ``maybe_seen`` from the broadcast sketch (Arrow-batched probe).
+
+    ``broadcasts``: optional caller-owned list the underlying broadcast
+    handle is appended to — an iterative caller (the wave loop) should
+    ``unpersist()`` them once the wave's jobs finish, or a 1000-wave
+    crawl accumulates a thousand stale sketch broadcasts on the driver
+    and executors."""
     spark = candidates.sparkSession
     b = spark.sparkContext.broadcast((sketch.n_bits, sketch.k, sketch.bits.tobytes()))
+    if broadcasts is not None:
+        broadcasts.append(b)
 
     @F.pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
@@ -134,6 +144,7 @@ def anti_join_seen(
     seen: DataFrame | None,
     sketch,
     hash_col: str = "url_hash",
+    broadcasts: list | None = None,
 ) -> DataFrame:
     """EXACT dedup against the seen set, Bloom-accelerated.
 
@@ -151,7 +162,7 @@ def anti_join_seen(
     if isinstance(sketch, ShardedSketchFiles):
         tagged = sketch.split(candidates, hash_col)
     else:
-        tagged = split_by_sketch(candidates, sketch, hash_col)
+        tagged = split_by_sketch(candidates, sketch, hash_col, broadcasts)
     definite_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(

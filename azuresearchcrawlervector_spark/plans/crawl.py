@@ -399,7 +399,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- documents
     def _embed_and_validate(self, emit_rows: DataFrame, keys_src: DataFrame,
-                            small_wave: bool, pending_n: int) -> DataFrame:
+                            small_wave: bool, pending_n: int,
+                            broadcasts: list | None = None) -> DataFrame:
         """Embed + image-validate the rows being emitted this wave:
         id = sha2(url,512) (T5), truncation-before-embed (T4), dual
         pseudo-embeddings (S10), per-row image PSNR/caption invariant
@@ -443,7 +444,7 @@ class CrawlEngine:
                 )
                 img_matched = split_by_sketch(
                     images_src.withColumn("ih", F.xxhash64("image_id")),
-                    img_sketch, "ih",
+                    img_sketch, "ih", broadcasts=broadcasts,
                 ).filter(F.col("maybe_seen")).drop("maybe_seen", "ih")
             img_checked = with_image_validation(img_matched).withColumn(
                 "caption_ok",
@@ -484,8 +485,10 @@ class CrawlEngine:
         unp.append(due)
         carry = backlog.join(due.select("url_hash"), "url_hash", "left_anti")
         small = budget <= cfg.broadcast_wave_threshold
+        drain_broadcasts: list = []
         docs_out = self._embed_and_validate(
-            due, due, small, max(m.embed_queue_count, 1))
+            due, due, small, max(m.embed_queue_count, 1),
+            broadcasts=drain_broadcasts)
         doc_path = self.store.write_delta(docs_out, "documents", i)
         obs = Observation(f"equeue_{i}")
         carry_obs = carry.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -509,6 +512,8 @@ class CrawlEngine:
             f"drain wave {i}: queue'={queue_n} wall_ms={wall_ms:.0f}")
         for df in unp:
             df.unpersist()
+        for b in drain_broadcasts:
+            b.unpersist()
         return m2
 
     # ------------------------------------------------------------------ wave
@@ -557,6 +562,9 @@ class CrawlEngine:
         # Skipped when the budget floor provably exceeds the whole
         # pending set (same result, no single-hot-host Window task).
         to_unpersist = []
+        # sketch broadcasts created this wave — released at wave end so
+        # a long crawl doesn't accumulate stale broadcast blocks
+        wave_broadcasts: list = []
         if (cfg.politeness and cfg.mode == CrawlMode.STANDARD
                 and self._min_host_budget < pending_n):
             tagged = apply_politeness(cand, self.robots, cfg.iter_window_ms).persist()
@@ -643,7 +651,7 @@ class CrawlEngine:
             )
             pages_probe = split_by_sketch(
                 pages_cols.withColumn("url_hash", url_hash_col("url")),
-                wave_sketch, "url_hash",
+                wave_sketch, "url_hash", broadcasts=wave_broadcasts,
             ).filter(F.col("maybe_seen")).drop("maybe_seen", "url_hash")
             fetch = due.join(pages_probe, on="url", how="left")
         fetch = fetch.withColumn(
@@ -765,7 +773,8 @@ class CrawlEngine:
         # budget on, keys must cover the backlog too → the due set itself
         keys_src = extracted if budget is None else due_docs
         docs_out = self._embed_and_validate(
-            due_docs, keys_src, small_wave, pending_n)
+            due_docs, keys_src, small_wave, pending_n,
+            broadcasts=wave_broadcasts)
         if self.dry_run:
             docs_out = docs_out.limit(0)
 
@@ -849,7 +858,8 @@ class CrawlEngine:
                         dict(self._sketch_index))
                 else:
                     sketch = self._seen_sketch
-        new_pending = anti_join_seen(children, seen_prev, sketch)
+        new_pending = anti_join_seen(
+            children, seen_prev, sketch, broadcasts=wave_broadcasts)
         new_pending = new_pending.join(
             seen_delta.select("url_hash"), "url_hash", "left_anti"
         )
@@ -934,6 +944,8 @@ class CrawlEngine:
             # deferred documents still drain first.
             for df in to_unpersist:
                 df.unpersist()
+            for b in wave_broadcasts:
+                b.unpersist()
             if budget is not None and m.embed_queue_count > 0:
                 return self._drain_wave(m)
             m.finished = True
@@ -1055,6 +1067,8 @@ class CrawlEngine:
                   " ".join(f"{k}={v}" for k, v in _phases), flush=True)
         for df in to_unpersist:
             df.unpersist()
+        for b in wave_broadcasts:
+            b.unpersist()
         return m2
 
 
