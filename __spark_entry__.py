@@ -11,9 +11,11 @@ per-row image PSNR/caption invariants.
 the training-data operator suite over /root/testdata (SURVEY.md §2 +
 the dedup/similarity/text-analysis family), each with an ANSI-SQL twin
 for the DuckDB oracle — including the flagship crawl (simulator-golden
-VALUES), the md5-tokenized SimHash, and the ANN-LSH path (seeded
-hyperplanes inlined). The only rows-only entry is MinHash-LSH, whose
-banded candidate set depends on blake2b + Spark's internal hash().
+VALUES), the md5-tokenized SimHash, the ANN-LSH/IVF paths, and the
+bucketed near-dup join ``emb_neardup_lsh`` (multi-table seeded
+hyperplanes inlined; the scale path whose plan has no crossJoin). The
+only rows-only entry is MinHash-LSH, whose banded candidate set
+depends on blake2b + Spark's internal hash().
 """
 
 from __future__ import annotations
