@@ -155,3 +155,35 @@ def test_embed_budget_per_wave(spark, tmp_path):
     b = sorted((r["seq"], r["url"], r["id"], r["title"], r["img_ok"])
                for r in res_n.documents(spark).collect())
     assert a == b and len(a) == 19
+
+
+def test_embed_budget_drain_resumable(spark, tmp_path):
+    """A kill between drain waves resumes: the queue is committed
+    data-files-first, so a fresh engine continues draining and the
+    final documents equal an uninterrupted budgeted crawl's."""
+    from azuresearchcrawlervector_spark.sources.fixtures import (
+        test_website as website1_graph,
+    )
+
+    g = website1_graph()
+    pages = pages_df(spark, g)
+
+    def eng(tag, max_iters=1000):
+        cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD,
+                          embed_budget_per_wave=3)
+        return CrawlEngine(spark, pages, cfg, str(tmp_path / tag),
+                           validate_images=False, max_iters=max_iters)
+
+    res_full = eng("full").run()
+    assert res_full.manifest.finished
+    partial = eng("kr", max_iters=5).run()   # stops while queue non-empty
+    assert not partial.manifest.finished
+    assert partial.manifest.embed_queue_count > 0 or \
+        partial.manifest.pending_count > 0
+    res_kr = eng("kr").run(resume=True)
+    assert res_kr.manifest.finished and res_kr.manifest.embed_queue_count == 0
+    a = sorted((r["seq"], r["url"], r["id"])
+               for r in res_full.documents(spark).collect())
+    b = sorted((r["seq"], r["url"], r["id"])
+               for r in res_kr.documents(spark).collect())
+    assert a == b and len(a) == 19
