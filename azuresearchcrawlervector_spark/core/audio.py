@@ -60,6 +60,55 @@ def synth_tone(seed_id: str, duration_s: float = 0.1,
     return np.clip(sig * 32767 / 1.2, -32768, 32767).astype(np.int16)
 
 
+# ------------------------------------------------------------- G.711 µ-law
+# Real COMPRESSED audio (2:1): ITU-T G.711 µ-law companding, the
+# public-domain Sun g711.c algorithm vectorized in numpy. Mini
+# container: b"G711U" + u32le sample_rate + companded payload.
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+_ULAW_MAGIC = b"G711U"
+# segment number = floor(log2(high byte)) (0 for 0) — Sun's seg lookup
+_ULAW_SEG = np.zeros(256, dtype=np.int32)
+for _v in range(1, 256):
+    _ULAW_SEG[_v] = int(_v).bit_length() - 1
+
+
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → µ-law bytes (uint8), vectorized linear2ulaw."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    exp = _ULAW_SEG[(mag >> 7) & 0xFF]
+    mant = (mag >> (exp + 3)) & 0xF
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_expand(data: np.ndarray) -> np.ndarray:
+    """µ-law bytes → int16 PCM, vectorized ulaw2linear."""
+    u = ~np.asarray(data, dtype=np.uint8) & 0xFF
+    t = (((u & 0xF).astype(np.int32) << 3) + _ULAW_BIAS) << ((u >> 4) & 7)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def g711u_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """mono int16 PCM → µ-law container bytes (half the size of 16-bit
+    WAV — genuine compression with genuine segment-quantization loss)."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16 or s.ndim != 1:
+        raise ValueError("g711u_encode expects mono int16 PCM")
+    return (_ULAW_MAGIC + int(sample_rate).to_bytes(4, "little")
+            + ulaw_compress(s).tobytes())
+
+
+def g711u_decode(data: bytes) -> tuple[np.ndarray, int]:
+    data = bytes(data)
+    if data[:5] != _ULAW_MAGIC:
+        raise ValueError("not a G711U payload")
+    rate = int.from_bytes(data[5:9], "little")
+    pcm = ulaw_expand(np.frombuffer(data[9:], dtype=np.uint8))
+    return pcm[:, None], rate
+
+
 def audio_features(pcm: np.ndarray, sample_rate: int) -> dict:
     """RMS, zero-crossing rate (Hz), spectral centroid (Hz), duration —
     vectorized numpy over the mono mixdown."""

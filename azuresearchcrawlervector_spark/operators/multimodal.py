@@ -88,7 +88,8 @@ def image_features(df: DataFrame, grid: int = 4) -> DataFrame:
 
 
 def decode_audio(buf: bytes, fmt: str, allow_fake: bool = False) -> np.ndarray:
-    """WAV: REAL stdlib PCM decode (core/audio.py). Compressed formats
+    """WAV: REAL stdlib PCM decode; g711u: REAL ITU-T G.711 µ-law
+    compressed decode (both core/audio.py). Other compressed formats
     (mp3/ogg/...): no codec in this container — with allow_fake, returns
     a deterministic pseudo-waveform derived from the byte content so the
     Spark plumbing can be tested; raises otherwise."""
@@ -96,11 +97,16 @@ def decode_audio(buf: bytes, fmt: str, allow_fake: bool = False) -> np.ndarray:
         from ..core.audio import wav_decode
         pcm, _rate = wav_decode(buf)
         return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
+    if fmt == "g711u":
+        # REAL compressed audio: ITU-T G.711 µ-law (core/audio.py)
+        from ..core.audio import g711u_decode
+        pcm, _rate = g711u_decode(buf)
+        return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
     if not allow_fake:
         raise NotImplementedError(
             f"{fmt!r} decode requires an external codec (not in this "
             "container); pass allow_fake=True for the deterministic "
-            "test stand-in, or use fmt='wav' (real stdlib codec)")
+            "test stand-in, or use fmt='wav'/'g711u' (real codecs)")
     seed = int.from_bytes(buf[:8].ljust(8, b"\0"), "little", signed=False) % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32)

@@ -279,3 +279,40 @@ def test_audio_feature_table_spark(spark):
     assert wav.dtype == np.float32 and len(wav) == 1600
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00" * 100, "mp3")
+
+
+def test_g711_ulaw_codec():
+    """Real ITU-T G.711 µ-law: (a) the canonical involution —
+    compress(expand(b)) == b for EVERY byte value, the property that
+    pins the implementation to the standard's code space; (b) genuine
+    2:1 compression with bounded segment-quantization loss on a real
+    signal; (c) the decode path is reachable without allow_fake."""
+    import numpy as np
+
+    from azuresearchcrawlervector_spark.core.audio import (
+        g711u_decode, g711u_encode, synth_tone, ulaw_compress, ulaw_expand,
+    )
+    from azuresearchcrawlervector_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    all_bytes = np.arange(256, dtype=np.uint8)
+    rt = ulaw_compress(ulaw_expand(all_bytes))
+    # G.711's one code-space ambiguity: 0x7F is "negative zero" — it
+    # expands to 0, which canonically re-compresses to 0xFF (positive
+    # zero). Every other code is an exact involution.
+    assert np.array_equal(rt[all_bytes != 0x7F], all_bytes[all_bytes != 0x7F])
+    assert ulaw_expand(np.array([0x7F], np.uint8))[0] == 0 and rt[0x7F] == 0xFF
+
+    tone = synth_tone("aud-g711", duration_s=0.2)
+    buf = g711u_encode(tone)
+    assert len(buf) - 9 == len(tone)          # 1 byte/sample vs 2 (2:1)
+    pcm, rate = g711u_decode(buf)
+    assert rate == 16_000 and pcm.shape == (len(tone), 1)
+    err = pcm[:, 0].astype(np.float64) - tone.astype(np.float64)
+    assert 0.0 < np.abs(err).max() < 1024    # real loss, segment-bounded
+    snr = 10 * np.log10((tone.astype(np.float64) ** 2).mean()
+                        / (err ** 2).mean())
+    assert snr > 30.0, snr
+    mono = decode_audio(buf, "g711u")        # real path, no allow_fake
+    assert abs(float(mono[0]) - pcm[0, 0] / 32768.0) < 1e-6
