@@ -145,6 +145,31 @@ def _split_log_segments(paths: list[str]) -> tuple[list[str], list[str]]:
     return segments, tail
 
 
+def _compact_deltas(spark: SparkSession, store, table: str,
+                    paths: list[str], iteration: int, k: int) -> list[str]:
+    """2-level incremental LSM-style compaction of a delta-file list
+    (see the frontier_log commentary in _wave): merge the uncompacted
+    delta TAIL into an L1 segment once it reaches k files; fold L1
+    segments into one L2 when they reach k. Earlier segments are never
+    re-read by an L1 merge, so per-wave compaction I/O is bounded by
+    recent-delta volume. Applied to EVERY delta table (frontier_log,
+    documents, metrics) — beyond read fan-in, this bounds the manifest's
+    path-list length, which is rewritten every wave and would otherwise
+    grow O(waves) (O(waves²) cumulative manifest I/O on a long crawl).
+    Old files stay on disk so earlier manifests remain readable."""
+    segments, tail = _split_log_segments(paths)
+    if len(tail) >= k:
+        seg = store.delta_path(table, iteration).replace("delta_", "compact_")
+        spark.read.parquet(*tail).write.mode("overwrite").parquet(seg)
+        segments, tail = segments + [seg], []
+        if len(segments) >= k:
+            l2 = store.delta_path(table, iteration).replace(
+                "delta_", "compact2_")
+            spark.read.parquet(*segments).write.mode("overwrite").parquet(l2)
+            segments = [l2]
+    return segments + tail
+
+
 def _priority_expr(mode: CrawlMode):
     if mode == CrawlMode.STANDARD:
         return F.concat(F.format_string("%03d", F.col("depth")), F.lit("|"), F.col("path"))
@@ -498,8 +523,14 @@ class CrawlEngine:
         met_rows = [[i, -1, 0, None, 0, 0, None, wall_ms]]
         met_path = self.store.write_metrics_rows(met_rows, i)
         deltas = {k: list(v) for k, v in m.deltas.items()}
-        deltas["documents"] = deltas.get("documents", []) + [doc_path]
-        deltas["metrics"] = deltas.get("metrics", []) + [met_path]
+        deltas["documents"] = _compact_deltas(
+            spark, self.store, "documents",
+            deltas.get("documents", []) + [doc_path], i,
+            cfg.log_compaction_files)
+        deltas["metrics"] = _compact_deltas(
+            spark, self.store, "metrics",
+            deltas.get("metrics", []) + [met_path], i,
+            cfg.log_compaction_files)
         m2 = Manifest(
             iter=i, pending_path=m.pending_path, deltas=deltas,
             pages_fetched=m.pages_fetched, docs_emitted=m.docs_emitted,
@@ -1015,31 +1046,21 @@ class CrawlEngine:
         # only the CURRENT wave's rows for inspection/console
         met_path = self.store.write_metrics_rows(met_rows, i)
 
-        log_paths = list(m.deltas.get("frontier_log", [])) + [log_path]
-        # INCREMENTAL compaction (LSM-style, 2 levels): only the tail of
-        # uncompacted delta files is merged into a new segment — earlier
-        # segments are never re-read, so per-wave compaction I/O is
-        # bounded by the recent-delta volume (flat over crawl length, not
-        # the O(total²/K) of rewrite-everything). When segments themselves
-        # accumulate to K, one L2 merge folds them (amortized O(total·L)).
-        # Old files stay on disk so earlier manifests (snapshot rollback)
-        # remain readable.
-        segments, delta_tail = _split_log_segments(log_paths)
-        if len(delta_tail) >= cfg.log_compaction_files:
-            seg = self.store.delta_path("frontier_log", i).replace(
-                "delta_", "compact_")
-            spark.read.parquet(*delta_tail).write.mode("overwrite").parquet(seg)
-            segments, delta_tail = segments + [seg], []
-            if len(segments) >= cfg.log_compaction_files:
-                l2 = self.store.delta_path("frontier_log", i).replace(
-                    "delta_", "compact2_")
-                spark.read.parquet(*segments).write.mode("overwrite").parquet(l2)
-                segments = [l2]
-            log_paths = segments + delta_tail
+        # INCREMENTAL compaction (_compact_deltas, LSM-style, 2 levels)
+        # of EVERY delta table — frontier_log is the per-wave hot reader
+        # (the seen projection), documents/metrics bound read fan-in AND
+        # the manifest's path-list length on long crawls.
+        K = cfg.log_compaction_files
         deltas = {
-            "documents": list(m.deltas.get("documents", [])) + [doc_path],
-            "frontier_log": log_paths,
-            "metrics": list(m.deltas.get("metrics", [])) + [met_path],
+            "documents": _compact_deltas(
+                spark, self.store, "documents",
+                list(m.deltas.get("documents", [])) + [doc_path], i, K),
+            "frontier_log": _compact_deltas(
+                spark, self.store, "frontier_log",
+                list(m.deltas.get("frontier_log", [])) + [log_path], i, K),
+            "metrics": _compact_deltas(
+                spark, self.store, "metrics",
+                list(m.deltas.get("metrics", [])) + [met_path], i, K),
         }
         fetched_count = due_n if cfg.seen_on_effective == SeenOn.SCHEDULE else ok_n
         m2 = Manifest(

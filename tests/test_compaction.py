@@ -65,7 +65,14 @@ def test_long_crawl_incremental_compaction(spark, tmp_path):
     assert res.manifest.pages_fetched == 30
     assert len(manifests) >= 30
     for m in manifests:
+        # every delta table is compacted: fan-in (and therefore the
+        # manifest's path-list length) stays bounded at < 2K
         assert len(m.deltas["frontier_log"]) < 2 * 3, m.iter
+        assert len(m.deltas["documents"]) < 2 * 3, m.iter
+        assert len(m.deltas["metrics"]) < 2 * 3, m.iter
+    # compacted documents/metrics tables read back complete
+    assert res.documents(spark).count() == 30
+    assert res.metrics(spark).filter("partition_id = -1").count() == 30
     # an L1 segment written early survives verbatim in later manifests
     # until (at most) one L2 fold — i.e. old data is not rewritten per wave
     segs = [p for p in manifests[-1].deltas["frontier_log"] if "compact" in p]
