@@ -61,8 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subword_count_col, token_count_col,
     )
     from azuresearchcrawlervector_spark.operators.dedup import (
-        embedding_neardup_lsh, exact_dedup, minhash_lsh_pairs,
-        ngram_jaccard_pairs, simhash64,
+        duplicate_clusters, embedding_neardup_lsh, exact_dedup,
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
     )
     from azuresearchcrawlervector_spark.operators.similarity import (
         ann_topk_lsh, ivf_topk, topk_cosine,
@@ -197,6 +197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
                 .orderBy("id_a", "id_b"))
 
+    def q_dedup_clusters(spark, sf):
+        # duplicate CLUSTERING: connected components over the pruned
+        # n-gram Jaccard pairs → (doc_id, cluster_id=min id in
+        # component) — the canonical-keeper step after pair generation
+        d = spark.read.parquet(_t(sf, "documents"))
+        pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+        return duplicate_clusters(pairs).orderBy("doc_id")
+
     def q_token_counts(spark, sf):
         d = spark.read.parquet(_t(sf, "documents"))
         return d.select(
@@ -292,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dims": q_embedding_dims,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
@@ -572,6 +581,45 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = id_b)
             WHERE jaccard >= 0.2
             ORDER BY id_a, id_b
+        """,
+        # duplicate clustering: the SAME pruned pair set as
+        # dedup_ngram_jaccard, then undirected transitive closure via
+        # WITH RECURSIVE and min-reachable-id per node — exactly the
+        # Spark operator's min-label fixpoint semantics
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i.g:i.g+2], ' ') AS shingle
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 2),
+            sh AS (
+              SELECT sh0.* FROM sh0
+              WHERE shingle NOT IN (
+                SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pr AS (
+              SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b)
+              WHERE jaccard >= 0.2),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "simhash64": r"""
             WITH toks AS (

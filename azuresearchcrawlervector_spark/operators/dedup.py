@@ -361,6 +361,60 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# --------------------------------------------------- duplicate clustering
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over a duplicate-pair list → (doc_id,
+    cluster_id), cluster_id = MIN doc id in the component (the canonical
+    "keeper" every pipeline needs after pair generation: drop all rows
+    whose doc_id != cluster_id).
+
+    Min-label propagation: each node repeatedly takes the minimum of its
+    own label and its neighbors' labels until a fixpoint — O(diameter)
+    rounds of one equi-join + map-side-combinable min aggregation each;
+    the driver only sees a 1-row convergence probe per round. Duplicate
+    components are overwhelmingly SHALLOW (near-clique clusters from
+    pair generators), so diameter is small in practice; for adversarial
+    long-chain graphs at 10^10 scale the standard upgrade is the
+    large-star/small-star algorithm (O(log n) rounds), which slots in
+    behind this same signature. Deterministic; only ids appearing in at
+    least one pair are returned (singletons are trivially their own
+    cluster).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct().persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("u").alias("v"),
+                              F.col("label").alias("nlabel")), "v")
+            .groupBy("u").agg(F.min("nlabel").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .withColumn("nlab", F.least("label", F.coalesce("minn", "label")))
+            .select("u", F.col("nlab").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels.unpersist()  # no-op on the (unpersisted) first iteration
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------- embedding near-dup
 def embedding_neardup_lsh(
     df: DataFrame, dim: int, vec_col: str = "embedding",

@@ -316,3 +316,21 @@ def test_g711_ulaw_codec():
     assert snr > 30.0, snr
     mono = decode_audio(buf, "g711u")        # real path, no allow_fake
     assert abs(float(mono[0]) - pcm[0, 0] / 32768.0) < 1e-6
+
+
+def test_duplicate_clusters(spark):
+    """Connected components over dup pairs: a 4-chain and a separate
+    pair collapse to min-id cluster labels; the chain (diameter 3)
+    exercises multi-round label propagation."""
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+    # canonical-keeper contract: exactly one keeper per cluster
+    keepers = {v for v in got.values()}
+    assert all(got[k] == k for k in keepers)
