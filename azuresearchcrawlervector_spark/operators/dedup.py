@@ -29,9 +29,19 @@ MERSENNE61 = (1 << 61) - 1
 def _widen(df: DataFrame) -> DataFrame:
     """Repartition to core width when the input scan produced fewer
     splits than cores — the explode/UDF stages below otherwise run
-    inside the (possibly single-task) scan stage. No-op at scale."""
+    inside the (possibly single-task) scan stage. No-op at scale.
+
+    Width is judged by the scan's file count (``inputFiles``) — no
+    ``df.rdd`` conversion (that materializes a Python RDD wrapper per
+    call). File count is a LOWER bound on scan splits (one oversized
+    file splits at maxPartitionBytes), so the only cost of the
+    estimate is a round-robin shuffle that wasn't strictly needed, and
+    only on inputs with fewer files than cores — i.e. never on a real
+    at-scale table. Non-file inputs (in-memory relations: tests,
+    createDataFrame) report no files and are treated as narrow.
+    """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    if len(df.inputFiles()) < parallelism:
         return df.repartition(parallelism)
     return df
 
