@@ -256,6 +256,84 @@ def merged_sharded_sketch(df: DataFrame, hash_col: str, n_shards: int,
     return sk
 
 
+def merge_delta_sharded_files(
+    df: DataFrame,
+    hash_col: str,
+    n_shards: int,
+    bits_per_shard: int,
+    index: dict[int, str],
+    out_dir: str,
+    iteration: int,
+    k: int = 7,
+) -> dict[int, str]:
+    """EXECUTOR-SIDE merge of a wave's delta into the sharded-sketch
+    snapshot: each task builds its shards' delta bitmaps, reads the
+    previous snapshot shard file (from ``index``), ORs, and writes the
+    new version file DIRECTLY to the (shared) checkpoint store — the
+    driver sees only the returned ``{shard: new_path}`` rows for shards
+    that actually changed. Clean shards (delta adds no bits) write
+    nothing and keep their previous immutable file.
+
+    This is the 10^10-scale path: no sketch bits ever reside on the
+    driver (its state is the tiny path index), per-wave merge I/O is
+    dirty-shards × shard-size and runs data-parallel across shards.
+    Executors write the store directly — the same shared-store
+    assumption the probe path (ShardedSketchFiles.split) already makes
+    by reading shard files from tasks. Writes are tmp-file + atomic
+    rename with version-stamped names, so task retries/speculation
+    rewrite identical content harmlessly.
+
+    File naming matches plans.checkpoint.SnapshotStore.write_sketch_shard
+    (``shard%05d_v%05d.bin`` under the store's seen_sketch dir) so
+    driver- and executor-written shards share one namespace.
+
+    Expected shards per task ≈ 1 (numPartitions = n_shards), so task
+    memory is ~one shard bitmap; worst-case hash collisions put a small
+    constant number of shards in one task.
+    """
+    import os
+    import uuid
+
+    spark = df.sparkSession
+    b_index = spark.sparkContext.broadcast(
+        {int(s): p for s, p in index.items()})
+    parted = df.select(hash_col).repartition(
+        n_shards, F.pmod(F.col(hash_col), F.lit(n_shards)))
+
+    def build_merge(batches):
+        local: dict[int, BloomFilter] = {}
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            sid = (h.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+            for s in np.unique(sid):
+                bf = local.setdefault(int(s), BloomFilter(bits_per_shard, k))
+                bf.add_many(h[sid == s])
+        idx = b_index.value
+        out_s, out_p = [], []
+        for s, bf in local.items():
+            prev_path = idx.get(s)
+            if prev_path is not None:
+                prev = _shard_bits_cached(prev_path)  # immutable, cacheable
+                if not np.any(bf.bits & ~prev):
+                    continue  # clean: keep the previous file
+                np.bitwise_or(bf.bits, prev, out=bf.bits)
+            path = os.path.join(
+                out_dir, f"shard{s:05d}_v{iteration:05d}.bin")
+            tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(bf.bits.tobytes())
+            os.replace(tmp, path)
+            out_s.append(s)
+            out_p.append(path)
+        yield pd.DataFrame({
+            "shard": np.asarray(out_s, dtype=np.int32), "path": out_p})
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = parted.mapInPandas(build_merge, "shard int, path string").collect()
+    b_index.unpersist()
+    return {int(r["shard"]): r["path"] for r in rows}
+
+
 # per-executor-process cache of immutable shard snapshot files (paths are
 # versioned, so a path's content never changes); bounded FIFO eviction
 _SHARD_FILE_CACHE: dict[str, np.ndarray] = {}

@@ -149,6 +149,23 @@ class SnapshotStore:
         os.replace(tmp, p)
         return p
 
+    def sketch_dir(self) -> str:
+        """Shard-file directory for the executor-side merge
+        (operators/seen.merge_delta_sharded_files writes here directly)."""
+        d = os.path.join(self.root, "seen_sketch")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def sketch_file_size(self, path: str) -> int:
+        """Size in bytes of a sketch file, -1 if absent — lets a resume
+        validate a sharded snapshot index WITHOUT reading shard bits
+        onto the driver (content is trusted: files are tmp+rename
+        atomic and version-immutable)."""
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return -1
+
     def write_sketch_index(self, index: dict[int, str], iteration: int) -> str:
         p = os.path.join(self.root, "seen_sketch", f"v{iteration:05d}.json")
         os.makedirs(os.path.dirname(p), exist_ok=True)

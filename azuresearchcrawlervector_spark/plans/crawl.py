@@ -269,17 +269,22 @@ class CrawlEngine:
             self._sketch_bits = self._n_shards * self._shard_bits
         else:
             self._sketch_bits = min(sized_bits, cfg.seen_sketch_cap_bits)
-        self._seen_sketch = None  # BloomFilter | ShardedBloom
-        self._sketch_index: dict[int, str] = {}  # shard -> latest bin file
+        self._seen_sketch = None  # BloomFilter (monolithic path ONLY)
+        # sharded path: the driver's ONLY sketch state is this tiny
+        # {shard -> latest bin file} index — shard bits live in store
+        # files, probed (ShardedSketchFiles) and merged
+        # (merge_delta_sharded_files) executor-side
+        self._sketch_index: dict[int, str] = {}
+        self._sketch_ready = False  # sharded index loaded/validated
 
     def _ensure_seen_sketch(self, m: Manifest, seen_prev) -> None:
         """Load the wave-start sketch: from the driver (steady state),
         from the checkpoint snapshot (resume), or by a one-time rebuild
         from the frontier log (resume from a pre-sketch manifest)."""
-        if self._seen_sketch is not None:
-            return
         if self._sketch_sharded:
             self._ensure_sharded_sketch(m, seen_prev)
+            return
+        if self._seen_sketch is not None:
             return
         bits = self.store.read_sketch(m.seen_sketch_path)
         if bits is not None and len(bits) * 8 == self._sketch_bits:
@@ -294,45 +299,38 @@ class CrawlEngine:
             self._seen_sketch = BloomFilter(self._sketch_bits)
 
     def _ensure_sharded_sketch(self, m: Manifest, seen_prev) -> None:
-        """Sharded counterpart: load the per-shard snapshot via its JSON
-        index; on a resume without one, rebuild from the seen projection
-        AND snapshot the rebuilt shards immediately — the wave's probe
-        reads shard FILES, so the index must reflect the full seen set
-        before any probe (a stale/missing shard would mean Bloom false
-        negatives, i.e. lost dedup)."""
-        import numpy as np
+        """Sharded counterpart — the driver NEVER holds shard bits
+        (round-3 VERDICT #1): its state is the {shard: file} index
+        alone. Resume validates the snapshot index by file size only
+        (files are tmp+rename atomic and version-immutable, so
+        existence+size is integrity); a resume from a pre-sketch
+        manifest rebuilds the snapshot from the seen projection with
+        the executor-side writer, because the wave's probe reads shard
+        FILES — the index must reflect the full seen set before any
+        probe (a stale/missing shard would mean Bloom false negatives,
+        i.e. lost dedup)."""
+        from ..operators.seen import merge_delta_sharded_files
 
-        from ..operators.seen import ShardedBloom, merged_sharded_sketch
-
+        if self._sketch_ready:
+            return
         index = self.store.read_sketch_index(m.seen_sketch_path)
         if index is not None:
-            sk = ShardedBloom(self._n_shards, self._shard_bits)
-            ok = True
-            for s, path in index.items():
-                bits = self.store.read_sketch(path)
-                if bits is None or len(bits) * 8 != self._shard_bits or \
-                        not 0 <= s < self._n_shards:
-                    ok = False
-                    break
-                sk.shards[s].bits = np.frombuffer(
-                    bits, dtype=np.uint8).copy()
-            if ok:
-                self._seen_sketch = sk
+            nbytes = self._shard_bits // 8
+            if all(0 <= s < self._n_shards
+                   and self.store.sketch_file_size(p) == nbytes
+                   for s, p in index.items()):
                 self._sketch_index = dict(index)
+                self._sketch_ready = True
                 return
         if seen_prev is not None and m.pages_fetched > 0:
-            sk = merged_sharded_sketch(
-                seen_prev, "url_hash", self._n_shards, self._shard_bits)
-            self._sketch_index = {}
-            for s, shard in enumerate(sk.shards):
-                if shard.bits.any():
-                    self._sketch_index[s] = self.store.write_sketch_shard(
-                        shard.bits.tobytes(), s, m.iter)
+            self._sketch_index = merge_delta_sharded_files(
+                seen_prev.select("url_hash"), "url_hash",
+                self._n_shards, self._shard_bits, {},
+                self.store.sketch_dir(), m.iter)
             self.store.write_sketch_index(self._sketch_index, m.iter)
-            self._seen_sketch = sk
         else:
-            self._seen_sketch = ShardedBloom(self._n_shards, self._shard_bits)
             self._sketch_index = {}
+        self._sketch_ready = True
 
     # ------------------------------------------------------------------ seed
     def _seed_pending(self) -> DataFrame:
@@ -1012,16 +1010,19 @@ class CrawlEngine:
         sketch_path = m.seen_sketch_path
         if self._sketch_enabled:
             if self._sketch_sharded:
-                from ..operators.seen import merged_sharded_sketch
-                delta_sk = merged_sharded_sketch(
+                # file-side merge: each task ORs its delta shard into
+                # the previous snapshot file and writes the new version
+                # DIRECTLY to the store; clean shards keep their
+                # previous (immutable) file. Per-wave snapshot I/O is
+                # bounded by the delta's shard coverage and the driver
+                # handles only the {shard: path} rows — no driver
+                # state scales with the sketch (round-3 VERDICT #1).
+                from ..operators.seen import merge_delta_sharded_files
+                dirty = merge_delta_sharded_files(
                     seen_delta.select("url_hash"), "url_hash",
-                    self._n_shards, self._shard_bits)
-                # snapshot only the DIRTY shards; clean shards keep
-                # their previous (immutable) file — per-wave snapshot
-                # I/O is bounded by the delta's shard coverage
-                for s in self._seen_sketch.merge_delta_(delta_sk):
-                    self._sketch_index[s] = self.store.write_sketch_shard(
-                        self._seen_sketch.shards[s].bits.tobytes(), s, i)
+                    self._n_shards, self._shard_bits,
+                    self._sketch_index, self.store.sketch_dir(), i)
+                self._sketch_index.update(dirty)
                 sketch_path = self.store.write_sketch_index(
                     self._sketch_index, i)
             else:

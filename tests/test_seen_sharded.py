@@ -77,6 +77,47 @@ def test_sharded_file_probe_no_false_negatives(spark, tmp_path):
     assert got == want
 
 
+def test_merge_delta_sharded_files_dirty_only(spark, tmp_path):
+    """Executor-side file merge: dirty shards get a new version file,
+    clean shards keep their previous path, re-merging the same delta
+    writes nothing, and the merged snapshot probes without false
+    negatives."""
+    from azuresearchcrawlervector_spark.operators.seen import (
+        merge_delta_sharded_files,
+    )
+
+    n_shards, shard_bits = 8, 1 << 13
+    out = str(tmp_path / "sk")
+    base = spark.createDataFrame(
+        [(int(h),) for h in range(0, 160, 2)], "url_hash long")
+    index = merge_delta_sharded_files(
+        base, "url_hash", n_shards, shard_bits, {}, out, 0)
+    assert index and all(
+        os.path.getsize(p) == shard_bits // 8 for p in index.values())
+
+    # delta entirely in shard 3 (hashes ≡ 3 mod 8)
+    delta = spark.createDataFrame(
+        [(int(h),) for h in range(3, 160, 8)], "url_hash long")
+    dirty = merge_delta_sharded_files(
+        delta, "url_hash", n_shards, shard_bits, dict(index), out, 1)
+    assert set(dirty) == {3}
+    assert dirty[3] != index.get(3) and dirty[3].endswith("_v00001.bin")
+    merged = {**index, **dirty}
+
+    # same delta again -> no new bits anywhere -> no dirty shards
+    assert merge_delta_sharded_files(
+        delta, "url_hash", n_shards, shard_bits, dict(merged), out, 2) == {}
+
+    # no false negatives through the merged snapshot
+    handle = ShardedSketchFiles(n_shards, shard_bits, merged)
+    seen = base.unionByName(delta)
+    cand = spark.createDataFrame(
+        [(int(h),) for h in range(200)], "url_hash long")
+    got = {r["url_hash"] for r in anti_join_seen(cand, seen, handle).collect()}
+    want = {r["url_hash"] for r in anti_join_seen(cand, seen, None).collect()}
+    assert got == want
+
+
 def _run(spark, tmp_path, tag, cfg, max_iters=1000, resume=False):
     g = website1_graph()
     eng = CrawlEngine(spark, pages_df(spark, g), cfg, str(tmp_path / tag),
@@ -105,6 +146,43 @@ def test_engine_sharded_matches_plain(spark, tmp_path):
         index = json.load(fh)
     assert index and all(os.path.exists(p) for p in index.values())
     assert len({int(s) for s in index}) <= 4
+
+
+def test_engine_sharded_driver_not_resident(spark, tmp_path):
+    """Round-3 VERDICT #1: in sharded mode no sketch bits ever live on
+    the driver — the engine's only sketch state is the path index —
+    and per-wave snapshot writes are bounded by the wave delta's shard
+    coverage (merge I/O ∝ delta, not sketch size)."""
+    g = website1_graph()
+    cfg = replace(CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD),
+                  **SHARDED_KW)
+    eng = CrawlEngine(spark, pages_df(spark, g), cfg,
+                      str(tmp_path / "nr"), validate_images=False,
+                      max_iters=1000)
+    res = eng.run()
+    assert eng._seen_sketch is None          # never materialized
+    assert eng._sketch_index                 # index-only driver state
+    assert len(res.documents(spark).collect()) == 19
+
+    # per-wave file evidence: the shard files written at wave i are
+    # exactly the shards the wave's seen-delta hashes cover that
+    # changed — never more than the delta's shard coverage
+    n_shards = eng._n_shards
+    log = res.frontier_log(spark)
+    per_wave = (
+        # all attempted rows: a superset of the seen delta under every
+        # seen_on policy, so "written shard ⊆ cover" stays sound
+        log.withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)))
+        .groupBy("iter").agg(F.collect_set("shard").alias("shards"))
+        .collect()
+    )
+    delta_cover = {int(r["iter"]): {int(s) for s in r["shards"]}
+                   for r in per_wave}
+    sdir = os.path.join(str(tmp_path / "nr"), "seen_sketch")
+    for f in os.listdir(sdir):
+        if f.startswith("shard") and f.endswith(".bin"):
+            s, v = int(f[5:10]), int(f[12:17])
+            assert s in delta_cover.get(v, set()), (f, delta_cover)
 
 
 def test_engine_sharded_resume_identical(spark, tmp_path):
