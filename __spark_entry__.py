@@ -61,7 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subword_count_col, token_count_col,
     )
     from azuresearchcrawlervector_spark.operators.dedup import (
-        duplicate_clusters, embedding_neardup_lsh, exact_dedup,
+        duplicate_clusters, duplicate_clusters_star, embedding_neardup_lsh,
+        exact_dedup,
         minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
     )
     from azuresearchcrawlervector_spark.operators.similarity import (
@@ -205,6 +206,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
         return duplicate_clusters(pairs).orderBy("doc_id")
 
+    def q_dedup_clusters_star(spark, sf):
+        # SAME clustering contract through the large-star/small-star
+        # path (O(log n) rounds on any graph vs label-prop's
+        # O(diameter)) — both run against the identical WITH RECURSIVE
+        # DuckDB oracle
+        d = spark.read.parquet(_t(sf, "documents"))
+        pairs = ngram_jaccard_pairs(d, k=3, threshold=0.2, max_df=100)
+        return duplicate_clusters_star(pairs).orderBy("doc_id")
+
     def q_token_counts(spark, sf):
         d = spark.read.parquet(_t(sf, "documents"))
         return d.select(
@@ -301,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
@@ -467,7 +478,7 @@ def _crawl_flagship_oracle_sql() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     dot_ab = ("list_sum(list_transform(list_zip(a.embedding, b.embedding),"
               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
     nrm = lambda s: (f"sqrt(list_sum(list_transform({s}.embedding,"
@@ -699,3 +710,11 @@ def oracle_sql() -> dict[str, str]:
         # candidate set depends on blake2b + Spark's internal hash()
         # (neither exists in DuckDB); driver records the rows-only check.
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # the star-CC path implements the SAME clustering contract — one
+    # oracle, two Spark algorithms (label-prop and large-star/small-star)
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    return sql

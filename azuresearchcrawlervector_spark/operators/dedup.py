@@ -385,18 +385,23 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     the driver only sees a 1-row convergence probe per round. Duplicate
     components are overwhelmingly SHALLOW (near-clique clusters from
     pair generators), so diameter is small in practice; for adversarial
-    long-chain graphs at 10^10 scale the standard upgrade is the
-    large-star/small-star algorithm (O(log n) rounds), which slots in
-    behind this same signature. Deterministic; only ids appearing in at
-    least one pair are returned (singletons are trivially their own
-    cluster).
+    long-chain graphs at 10^10 scale use duplicate_clusters_star
+    (large-star/small-star, O(log n) rounds, identical output contract).
+    Deterministic; only ids appearing in at least one pair are returned
+    (singletons are trivially their own cluster).
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct().persist()
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # each round's labels are EAGERLY localCheckpoint-ed: truncates the
+    # logical plan (round r would otherwise nest r joins deep — Catalyst
+    # analysis alone dominates past ~8 rounds) and materializes the
+    # round so the convergence probe and the next round share one
+    # computation
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u")).localCheckpoint(eager=True))
     for _ in range(max_iters):
         neigh = (
             edges.join(
@@ -408,7 +413,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             labels.join(neigh, "u", "left")
             .withColumn("nlab", F.least("label", F.coalesce("minn", "label")))
             .select("u", F.col("nlab").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -416,13 +421,95 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1).count()
         )
-        labels.unpersist()  # no-op on the (unpersisted) first iteration
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
+                            id_b: str = "id_b", max_iters: int = 60,
+                            stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    published MapReduce CC algorithm with O(log n) round convergence on
+    ANY graph (vs min-label propagation's O(diameter): a 10^7-node
+    duplicate CHAIN would need 10^7 label rounds but ~2·log2 n star
+    rounds). Same output contract as duplicate_clusters: (doc_id,
+    cluster_id = component-min id) for every id in at least one pair.
+
+    Per round (each step one equi-join + a map-side-combinable min agg):
+    - large-star, per center u over ALL neighbors Γ(u):
+      emit (v, min(Γ(u) ∪ {u})) for v ∈ Γ(u), v > u
+    - small-star, per center u over smaller neighbors N(u) (edges are
+      (big, small) after large-star): m = min(N(u)); emit (v, m) for
+      v ∈ N(u) and (u, m)
+    Stars (every node linked directly to its component min) are the
+    unique fixpoint; convergence is detected by an (edge-count,
+    bit_xor-of-xxhash64) signature — one 1-row collect per round, no
+    driver-side edge materialization (a signature collision would need
+    two consecutive distinct edge sets agreeing on count AND 64-bit
+    hash xor: negligible, and the cost would be one early stop, caught
+    by the fixpoint tests). ``stats`` (optional) receives
+    {"rounds": r} for convergence-bound assertions.
+    """
+    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    nodes = (e0.select(F.col("u").alias("id"))
+             .unionByName(e0.select(F.col("v").alias("id"))).distinct())
+    # canonical (big, small) orientation; self-pairs carry no structure.
+    # Each round's edge set is EAGERLY localCheckpoint-ed: it truncates
+    # the logical plan (O(log n) rounds would otherwise nest O(log n)
+    # joins deep — Catalyst analysis alone would dominate) and
+    # materializes the round so the signature collect and the next
+    # round share one computation. Executor-local storage; an executor
+    # loss mid-algorithm recomputes the round — the standard tradeoff
+    # for iterative graph algorithms.
+    edges = (
+        e0.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    prev_sig, rounds = None, 0
+    for rounds in range(1, max_iters + 1):
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (both.groupBy("u").agg(F.min("v").alias("mn"))
+                .withColumn("mn", F.least("mn", F.col("u"))))
+        # large-star output edges are (v, m) with m ≤ u < v: already
+        # (big, small)-oriented for the small-star step
+        led = (
+            both.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v")).distinct()
+        )
+        smin = led.groupBy("u").agg(F.min("v").alias("mn"))
+        new_edges = (
+            led.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(smin.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
+            .distinct().localCheckpoint(eager=True)
+        )
+        row = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        sig = (int(row["n"]), int(row["h"] or 0))
+        edges = new_edges
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    star = edges.select(F.col("u").alias("id"), F.col("v").alias("lab"))
+    return (
+        nodes.join(star, "id", "left")
+        .select(F.col("id").alias("doc_id"),
+                F.coalesce("lab", "id").alias("cluster_id"))
+    )
 
 
 # ------------------------------------------------------- embedding near-dup

@@ -99,30 +99,24 @@ def ann_topk_lsh_partitioned(
 
 
 # ------------------------------------------------------------------- IVF
-def ivf_topk(
-    df: DataFrame, query_vec: list[float], k: int = 10,
-    n_centroids: int = 16, nprobe: int = 4,
-    vec_col: str = "embedding", id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF-flat ANN: centroids = the table's first ``n_centroids``
-    vectors by id (deterministic, data-derived — no training step, no
-    external data); every row is assigned to its max-cosine centroid;
-    the query probes its ``nprobe`` nearest centroids and brute-forces
-    inside those inverted lists.
-
-    Plan shape: the centroid assignment is ``n_centroids`` constant-
-    folded literal-array dot products + an argmax — pure JVM projection,
-    NO crossJoin/shuffle/window. Ties break toward the lowest centroid
-    id (cosines rounded to 6 before comparison, so the DuckDB twin is
-    bit-reproducible). At 10^10 rows the assigned table is written
-    partitioned by ``ivf_cid`` (same file-pruning story as
-    write_lsh_partitioned — assignment is the one-off build cost).
-    """
+def _ivf_centroids(df: DataFrame, n_centroids: int,
+                   vec_col: str, id_col: str) -> list[tuple[int, list]]:
+    """Deterministic data-derived centroids: the table's first
+    ``n_centroids`` vectors by id, sorted (no training step, no
+    external data). O(n_centroids) collect."""
     cents = (df.filter(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
              .collect())
-    cents = sorted((int(r["cid"]), list(r["ce"])) for r in cents)
+    return sorted((int(r["cid"]), list(r["ce"])) for r in cents)
 
+
+def with_ivf_assignment(df: DataFrame, cents: list[tuple[int, list]],
+                        vec_col: str = "embedding") -> DataFrame:
+    """df + ``ivf_cid`` = argmax-cosine centroid INDEX. The assignment
+    is ``len(cents)`` constant-folded literal-array dot products + an
+    argmax — pure JVM projection, NO crossJoin/shuffle/window. Ties
+    break toward the lowest centroid index (cosines rounded to 6 before
+    comparison, so the DuckDB twin is bit-reproducible)."""
     def cos_lit(vec_expr: str, c: list[float]) -> str:
         lit = "array(" + ",".join(f"CAST({float(x)} AS DOUBLE)" for x in c) + ")"
         cnorm = float(np.sqrt(np.dot(c, c)))
@@ -131,18 +125,69 @@ def ivf_topk(
 
     arr = "array(" + ",".join(cos_lit(vec_col, c) for _cid, c in cents) + ")"
     # argmax with lowest-index tie-break = array_position of the max
-    assigned = df.withColumn(
-        "ivf_cid", F.expr(f"array_position({arr}, array_max({arr})) - 1").cast("int"))
+    return df.withColumn(
+        "ivf_cid",
+        F.expr(f"array_position({arr}, array_max({arr})) - 1").cast("int"))
 
-    # probe set in INDEX space (cents are sorted by id, so index i is
-    # the i-th smallest centroid id — the oracle twin reproduces this
-    # with row_number() over the same ordering)
+
+def _ivf_probe(cents: list[tuple[int, list]], query_vec: list[float],
+               nprobe: int) -> list[int]:
+    """Query's ``nprobe`` nearest centroid INDEXES (cents are sorted by
+    id, so index i is the i-th smallest centroid id — the oracle twin
+    reproduces this with row_number() over the same ordering)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt(q @ q))
     qcos = [(round(float(np.dot(q, c) / (np.sqrt(np.dot(c, c)) * qn)), 6), idx)
             for idx, (_cid, c) in enumerate(cents)]
-    probe = [idx for _c, idx in sorted(qcos, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    return [idx for _c, idx in sorted(qcos, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: every row is assigned to its max-cosine centroid
+    (with_ivf_assignment); the query probes its ``nprobe`` nearest
+    centroids and brute-forces inside those inverted lists. At 10^10
+    rows the assigned table is written partitioned by ``ivf_cid``
+    (write_ivf_partitioned — assignment is the one-off build cost) and
+    the probe prunes at the file level (ann_topk_ivf_partitioned)."""
+    cents = _ivf_centroids(df, n_centroids, vec_col, id_col)
+    assigned = with_ivf_assignment(df, cents, vec_col)
+    probe = _ivf_probe(cents, query_vec, nprobe)
     cand = assigned.filter(F.col("ivf_cid").isin(probe))
+    return topk_cosine(cand, query_vec, k, vec_col, id_col)
+
+
+def write_ivf_partitioned(
+    df: DataFrame, path: str, n_centroids: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> None:
+    """The 10^10-row IVF layout, mirror of write_lsh_partitioned:
+    materialize the inverted-list id as a PARTITION column so a query's
+    nprobe set prunes at the FILE level (non-probed list directories
+    are never opened; `.explain` shows the probe list under
+    PartitionFilters)."""
+    cents = _ivf_centroids(df, n_centroids, vec_col, id_col)
+    with_ivf_assignment(df, cents, vec_col).write.mode("overwrite") \
+        .partitionBy("ivf_cid").parquet(path)
+
+
+def ann_topk_ivf_partitioned(
+    spark, path: str, query_vec: list[float], k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over an ivf_cid-partitioned table (write_ivf_partitioned):
+    identical results to ivf_topk, but the inverted-list filter becomes
+    a partition-pruning predicate instead of a row filter. Centroids are
+    re-derived from the table itself (first ``n_centroids`` ids), same
+    as the build — an O(n_centroids) collect."""
+    tbl = spark.read.parquet(path)
+    cents = _ivf_centroids(tbl, n_centroids, vec_col, id_col)
+    probe = _ivf_probe(cents, query_vec, nprobe)
+    cand = tbl.filter(F.col("ivf_cid").isin(probe))
     return topk_cosine(cand, query_vec, k, vec_col, id_col)
 
 

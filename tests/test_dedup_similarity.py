@@ -240,6 +240,26 @@ def test_ann_lsh_partitioned_pruning(spark, embs, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_ann_ivf_partitioned_pruning(spark, embs, tmp_path):
+    """Mirror of the LSH partitioned demo (round-3 VERDICT #4): the
+    inverted-list id is a partition column, the probe set a
+    partition-pruning predicate, results identical to ivf_topk."""
+    from azuresearchcrawlervector_spark.operators.similarity import (
+        ann_topk_ivf_partitioned, ivf_topk, write_ivf_partitioned,
+    )
+    q = [float(x) for x in embs.filter("vec_id = 0").collect()[0]["embedding"]]
+    path = str(tmp_path / "emb_by_ivf")
+    write_ivf_partitioned(embs, path, n_centroids=16)
+    part = ann_topk_ivf_partitioned(spark, path, q, k=10, n_centroids=16,
+                                    nprobe=4)
+    a = [(r["vec_id"], r["cosine"]) for r in part.collect()]
+    b = [(r["vec_id"], r["cosine"])
+         for r in ivf_topk(embs, q, k=10, n_centroids=16, nprobe=4).collect()]
+    assert a == b
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cid" in plan
+
+
 # ---------------------------------------------------------------- audio
 def test_wav_roundtrip_and_features():
     from azuresearchcrawlervector_spark.core.audio import (
@@ -334,3 +354,45 @@ def test_duplicate_clusters(spark):
     # canonical-keeper contract: exactly one keeper per cluster
     keepers = {v for v in got.values()}
     assert all(got[k] == k for k in keepers)
+
+
+def test_duplicate_clusters_star_matches_label_prop(spark):
+    """large-star/small-star CC produces the identical (doc_id,
+    cluster_id) map as min-label propagation on a mixed graph —
+    chains, a clique, singleton-by-self-pair, disjoint pairs."""
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        duplicate_clusters, duplicate_clusters_star,
+    )
+
+    rng = np.random.default_rng(5)
+    rand = [(int(a), int(b))
+            for a, b in rng.integers(100, 160, size=(60, 2))]
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9), (20, 21), (21, 22), (20, 22),
+         (42, 42)] + rand, "id_a long, id_b long")
+    a = {r["doc_id"]: r["cluster_id"]
+         for r in duplicate_clusters(pairs).collect()}
+    b = {r["doc_id"]: r["cluster_id"]
+         for r in duplicate_clusters_star(pairs).collect()}
+    assert a == b
+
+
+def test_duplicate_clusters_star_chain_logn_rounds(spark):
+    """The adversarial case label-prop can't handle at scale: a
+    10k-node PATH (diameter 10^4). Star-CC must collapse it to one
+    cluster in ≤ ~2·log2(n) rounds (round-3 VERDICT #5 bound)."""
+    import math
+
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        duplicate_clusters_star,
+    )
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    stats = {}
+    labels = duplicate_clusters_star(chain, stats=stats)
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 2, stats
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}
