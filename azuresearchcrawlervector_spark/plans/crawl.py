@@ -1094,38 +1094,104 @@ class CrawlEngine:
         return m2
 
 
+def _sitemap_seed_rows(root_url: str, lookup: dict[str, str],
+                       same_host_only: bool) -> list[tuple]:
+    """Discovery → PENDING_SCHEMA seed rows for ONE root: the shared
+    pure kernel behind both the driver loop (run_sitemap_crawl on a
+    dict) and the executor-side per-host task
+    (sitemap_seeds_distributed) — one code path, so the two modes are
+    order-identical by construction. ``lookup`` keys are lowercased
+    sitemap URLs."""
+    from ..sources.sitemap import discover_sitemap_urls
+
+    urls = discover_sitemap_urls(root_url, lambda u: lookup.get(u.lower()))
+    root_host = host_of(canonicalize(None, root_url))
+    rows: list[tuple] = []
+    seen_urls: set[str] = set()
+    for pos, u in enumerate(urls):
+        if u in seen_urls:
+            continue
+        if same_host_only and host_of(u) != root_host:
+            continue  # F2 same-host filter (SitemapCrawler.cs:159-163)
+        seen_urls.add(u)
+        rows.append((u, url_hash(u), host_of(u), root_host, 0,
+                     f"{pos:09d}", f"{pos:09d}", None, pos, 0, 0))
+    return rows
+
+
+def sitemap_seeds_distributed(
+    spark: SparkSession,
+    roots: list[str],
+    bodies: DataFrame,
+    same_host_only: bool = True,
+) -> DataFrame:
+    """Executor-side sitemap discovery for many-host sites runs
+    (round-3 VERDICT #7): ``bodies`` is a (url, body) table of sitemap
+    documents; each HOST's documents are grouped to one task
+    (applyInPandas) which runs the identical discovery kernel the
+    driver path uses — document order per host is preserved via the
+    emitted path/priority/link_pos columns, and a thousand-host sites
+    file discovers in parallel instead of a serial driver loop.
+
+    Grouping key is the host of the sitemap URL joined to the root
+    with the same host, so the scheme assumes per-host sitemap
+    locality (a sitemapindex referencing another host's XML won't see
+    that body) — standard real-world layout and the fixtures' shape;
+    the driver path remains the general fallback. One root per host.
+    """
+    root_rows = []
+    for r in roots:
+        c = canonicalize(None, r)
+        if c is not None:
+            root_rows.append((r, host_of(c)))
+    roots_df = spark.createDataFrame(root_rows, "root_url string, host string")
+
+    def kernel(pdf):
+        import pandas as pd
+        root = pdf["root_url"].iloc[0]
+        lookup = {str(u).lower(): str(b)
+                  for u, b in zip(pdf["url"], pdf["body"])}
+        rows = _sitemap_seed_rows(root, lookup, same_host_only)
+        return pd.DataFrame(
+            rows, columns=[f.name for f in PENDING_SCHEMA.fields])
+
+    from ..functions.urls import host_udf
+    return (
+        bodies.withColumn("host", host_udf(F.col("url")))
+        .join(F.broadcast(roots_df), "host")
+        .groupBy("root_url")
+        .applyInPandas(kernel, PENDING_SCHEMA)
+    )
+
+
 def run_sitemap_crawl(
     spark: SparkSession,
     pages: DataFrame,
     cfg: CrawlConfig,
     checkpoint_dir: str,
-    sitemap_bodies: dict[str, str],
+    sitemap_bodies: dict[str, str] | DataFrame,
     images: DataFrame | None = None,
     robots: DataFrame | None = None,
     **engine_kw,
 ) -> CrawlResult:
-    """Sitemap mode (O3): driver-side discovery over the per-host sitemap
-    documents (a handful of small XMLs — the reference is sequential here
-    too, SitemapCrawler.cs:204-274), then the SAME wave engine fetches the
-    discovered URLs in document order. No link following (the reference
-    sitemap crawler never extracts links), no politeness delay.
-    """
-    from ..sources.sitemap import discover_sitemap_urls
+    """Sitemap mode (O3): discovery over the per-host sitemap documents,
+    then the SAME wave engine fetches the discovered URLs in document
+    order. No link following (the reference sitemap crawler never
+    extracts links), no politeness delay.
 
-    lookup = {k.lower(): v for k, v in sitemap_bodies.items()}
-    urls = discover_sitemap_urls(cfg.root_url, lambda u: lookup.get(u.lower()))
-    root_host = host_of(canonicalize(None, cfg.root_url))
-    rows = []
-    seen_urls = set()
-    for pos, u in enumerate(urls):
-        if u in seen_urls:
-            continue
-        if cfg.same_host_only and host_of(u) != root_host:
-            continue  # F2 same-host filter (SitemapCrawler.cs:159-163)
-        seen_urls.add(u)
-        rows.append((u, url_hash(u), host_of(u), root_host, 0,
-                     f"{pos:09d}", f"{pos:09d}", None, pos, 0, 0))
-    seed = spark.createDataFrame(rows, PENDING_SCHEMA)
+    ``sitemap_bodies`` as a dict runs the reference-faithful driver
+    loop (a handful of small XMLs — the reference is sequential here
+    too, SitemapCrawler.cs:204-274); as a (url, body) DataFrame the
+    discovery runs executor-side (sitemap_seeds_distributed) — same
+    kernel, same seeds, parallel across hosts.
+    """
+    if isinstance(sitemap_bodies, DataFrame):
+        seed = sitemap_seeds_distributed(
+            spark, [cfg.root_url], sitemap_bodies, cfg.same_host_only)
+    else:
+        lookup = {k.lower(): v for k, v in sitemap_bodies.items()}
+        rows = _sitemap_seed_rows(cfg.root_url, lookup, cfg.same_host_only)
+        seed = spark.createDataFrame(rows, PENDING_SCHEMA)
     sm_cfg = CrawlConfig(
         root_url=cfg.root_url, mode=CrawlMode.SITEMAP, max_pages=cfg.max_pages,
         max_depth=0, dom_selector=cfg.dom_selector,
