@@ -8,13 +8,14 @@ emits a spec-compliant JFIF stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI with
 skip-over for APPn/COM) and inverts entropy coding, dequantization,
 IDCT and color conversion.
 
-This replaces the round-1/2 ``qpng`` stand-in for the ``jpeg`` fmt on
-the fixture/flagship paths, so the PSNR ≥ 40 dB fetch invariant
-(BASELINE.json input_hint) runs against real lossy-DCT artifacts.
-``qpng`` remains available as the high-throughput stand-in for the
-120k-row bench (per-symbol Huffman in Python is ~ms/image; a production
-deployment swaps this module for libjpeg-turbo with no Spark-side
-changes — functions/imagefn.py is codec-agnostic).
+This replaces the round-1/2 ``qpng`` stand-in for the ``jpeg`` fmt
+everywhere — fixtures, flagship AND the 120k-row bench — so the
+PSNR ≥ 40 dB fetch invariant (BASELINE.json input_hint) always runs
+against real lossy-DCT artifacts. The scan is decoded through a
+numpy-prepped bitstream + 2^16 code-length LUT (several hundred
+images/s/core; see _decode_scan_lut); a production deployment still
+swaps this module for libjpeg-turbo with no Spark-side changes
+(functions/imagefn.py is codec-agnostic).
 
 Bit-exactness contract (tests/test_images.py): decode(encode(px)) ==
 reconstruct(px), where reconstruct() replicates the encoder's model
@@ -204,7 +205,7 @@ def _quantized_blocks(px: np.ndarray, quality: int):
     for c in range(3):
         qt = qlum if c == 0 else qchrom
         blocks = _to_blocks(padded[..., c] - 128.0)
-        coeffs = np.einsum("ux,nxy,yv->nuv", _C, blocks, _CT)
+        coeffs = _C @ blocks @ _CT
         q = np.round(coeffs / qt).astype(np.int32)
         out.append(q.reshape(-1, 64)[:, ZIGZAG])
     return out, ph, pw, (qlum, qchrom)
@@ -219,7 +220,7 @@ def reconstruct(px: np.ndarray, quality: int = 90) -> np.ndarray:
     for c, zz in enumerate(comps):
         qt = qlum if c == 0 else qchrom
         coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * qt
-        blocks = np.einsum("xu,nuv,vy->nxy", _CT, coeffs.astype(np.float64), _C)
+        blocks = _CT @ coeffs.astype(np.float64) @ _C
         planes.append(_from_blocks(blocks, ph, pw) + 128.0)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]
 
@@ -377,10 +378,123 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+# --------------------------- vectorized entropy decode (round-4 item #3)
+# Huffman is decoded via a 2^16-entry code-length LUT: every 16-bit
+# window whose PREFIX is a canonical code maps to (symbol, code length)
+# (JPEG caps code length at 16 bits, so one table-read decodes any
+# symbol). The bitstream prep — stuffed-byte strip, bit unpack, the
+# 16-bit sliding window array — is pure numpy; the remaining per-symbol
+# loop is O(1) python-list reads per symbol (the symbol SEQUENCE is
+# inherently sequential: each code's position depends on every previous
+# length). ~10-30x over the per-bit _BitReader path, which is kept as
+# the reference implementation and pinned equal by tests/test_images.py.
+_LUT_CACHE: dict[tuple, list[int]] = {}
+_LUT_CACHE_MAX = 16
+
+
+def _lut16(bits: list[int], vals: list[int]) -> list[int]:
+    """Window value -> (symbol << 5) | code_length, packed so the decode
+    loop pays ONE list read per symbol; 0 = invalid prefix."""
+    key = (tuple(bits), tuple(vals))
+    got = _LUT_CACHE.get(key)
+    if got is None:
+        packed = np.zeros(1 << 16, dtype=np.int32)
+        for s, (code, length) in _canonical_codes(bits, vals).items():
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            packed[start:start + span] = (s << 5) | length
+        while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+        got = packed.tolist()  # python list: O(1) fast reads
+        _LUT_CACHE[key] = got
+    return got
+
+
+def _scan_windows(data: bytes, pos: int) -> list[int]:
+    """Entropy-coded scan bytes from ``pos`` → W[i] = the 16 bits
+    starting at bit offset i, as a python list. Stuffed 0x00 after 0xFF
+    removed; the scan ends at the first real marker (0xFF followed by
+    non-zero). All numpy until the final tolist()."""
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    marker = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
+    seg = arr[:int(marker[0])] if len(marker) else arr
+    stuffed = np.flatnonzero((seg[:-1] == 0xFF) & (seg[1:] == 0x00)) + 1
+    if len(stuffed):
+        seg = np.delete(seg, stuffed)
+    bits = np.unpackbits(seg)
+    n = len(bits)
+    padded = np.concatenate([bits, np.zeros(32, dtype=np.uint8)])
+    W = np.zeros(n + 16, dtype=np.int64)
+    for j in range(16):
+        W = (W << 1) | padded[j:j + n + 16]
+    return W.tolist()
+
+
+def _decode_scan_lut(data: bytes, pos: int, tables: list[tuple],
+                     n_mcus: int) -> list[np.ndarray]:
+    """Interleaved 1x1-MCU scan decode over the window array.
+    ``tables[c]`` = (dc_packed, ac_packed) LUTs ((sym<<5)|len)."""
+    W = _scan_windows(data, pos)
+    coeffs = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(3)]
+    idx: list[list[int]] = [[], [], []]
+    val: list[list[int]] = [[], [], []]
+    appends = [(idx[c].append, val[c].append) for c in range(3)]
+    prev_dc = [0, 0, 0]
+    p = 0
+    try:
+        for mcu in range(n_mcus):
+            base = mcu << 6
+            for c in range(3):
+                dlut, alut = tables[c]
+                e = dlut[W[p]]
+                if e == 0:
+                    raise ValueError("invalid Huffman code")
+                p += e & 31
+                s = e >> 5
+                if s:
+                    v = W[p] >> (16 - s)
+                    p += s
+                    prev_dc[c] += (v if v >= (1 << (s - 1))
+                                   else v - (1 << s) + 1)
+                ai, av = appends[c]
+                ai(base)
+                av(prev_dc[c])
+                k = 1
+                while k < 64:
+                    e = alut[W[p]]
+                    if e == 0:
+                        raise ValueError("invalid Huffman code")
+                    p += e & 31
+                    rs = e >> 5
+                    s = rs & 0xF
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    v = W[p] >> (16 - s)
+                    p += s
+                    ai(base + k)
+                    av(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    k += 1
+    except IndexError as exc:  # truncated scan
+        raise ValueError("truncated entropy-coded scan") from exc
+    for c in range(3):
+        coeffs[c].reshape(-1)[idx[c]] = val[c]
+    return coeffs
+
+
+def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
     """Baseline JFIF bytes → HxWx3 uint8 RGB. Supports what jpeg_encode
     emits plus any baseline 1x1-sampled 3-component stream with its own
-    DQT/DHT tables; APPn/COM segments are skipped."""
+    DQT/DHT tables; APPn/COM segments are skipped.
+
+    ``engine``: "lut" (default) decodes the scan via the vectorized
+    window/LUT path; "bitwise" uses the per-bit reference reader —
+    kept for the byte-parity pin in tests/test_images.py."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -428,7 +542,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1:p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17:p + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = (bits, vals)  # raw; engine builds its view
                 p += 17 + nv
         elif marker == 0xDA:  # SOS — entropy data follows
             for c in range(payload[0]):
@@ -442,33 +556,42 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_mcus = (ph // 8) * (pw // 8)
-    br = _BitReader(data, pos)
-    coeffs = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(3)]
-    prev_dc = [0, 0, 0]
-    for mcu in range(n_mcus):
-        for c in range(3):
-            dct, act = huff[(0, scan_tabs[c][0])], huff[(1, scan_tabs[c][1])]
-            zz = coeffs[c][mcu]
-            s = _read_huff(br, dct)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc[c] += diff
-            zz[0] = prev_dc[c]
-            k = 1
-            while k < 64:
-                rs = _read_huff(br, act)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
+    if engine == "lut":
+        tables = [
+            (_lut16(*huff[(0, scan_tabs[c][0])]),
+             _lut16(*huff[(1, scan_tabs[c][1])]))
+            for c in range(3)
+        ]
+        coeffs = _decode_scan_lut(data, pos, tables, n_mcus)
+    else:
+        br = _BitReader(data, pos)
+        dec = {k: _decode_table(*bv) for k, bv in huff.items()}
+        coeffs = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(3)]
+        prev_dc = [0, 0, 0]
+        for mcu in range(n_mcus):
+            for c in range(3):
+                dct, act = dec[(0, scan_tabs[c][0])], dec[(1, scan_tabs[c][1])]
+                zz = coeffs[c][mcu]
+                s = _read_huff(br, dct)
+                diff = _extend(br.bits(s), s) if s else 0
+                prev_dc[c] += diff
+                zz[0] = prev_dc[c]
+                k = 1
+                while k < 64:
+                    rs = _read_huff(br, act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
     planes = []
     for c in range(3):
         tab = qt[comp_spec[c][1]].astype(np.float64)
         blocks = coeffs[c][:, UNZIGZAG].reshape(-1, 8, 8) * tab
-        px = np.einsum("xu,nuv,vy->nxy", _CT, blocks, _C)
+        px = _CT @ blocks @ _C  # batched (n,8,8) matmul beats einsum ~3x
         planes.append(_from_blocks(px, ph, pw) + 128.0)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]

@@ -65,12 +65,24 @@ def _run_crawl(spark, work, tag, pages_r, images_r, robots, n_hosts,
         F.count("*").alias("n"),
         F.sum(F.col("img_ok").cast("long")).alias("ok"),
     ).collect()[0]
+    # jpeg slice: since round 4 the lossy half of the bench payload is
+    # REAL baseline JPEG (not the qpng stand-in), so image_rows_jpeg_ok
+    # counts PSNR-validated real lossy-DCT artifacts
+    jp = (
+        docs.join(images_r.select("image_id", "fmt"), "image_id")
+        .filter(F.col("fmt") == "jpeg")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("img_ok").cast("long")).alias("ok"))
+        .collect()[0]
+    )
     return {
         "crawl_sec": round(crawl_s, 2),
         "iterations": m.iter,
         "frontier_urls": m.pages_fetched,
         "image_rows": img_ok["n"],
         "image_rows_ok": int(img_ok["ok"] or 0),
+        "image_rows_jpeg": jp["n"],
+        "image_rows_jpeg_ok": int(jp["ok"] or 0),
         "urls_per_sec": round(m.pages_fetched / crawl_s, 1),
         "image_rows_per_sec": round(img_ok["n"] / crawl_s, 1),
     }

@@ -138,3 +138,26 @@ def test_jpeg_error_paths_and_legacy_qpng_sniff():
                           decode(legacy, "qpng"))
     # and real jpeg bytes under fmt="jpeg" decode via the real codec
     assert psnr(px, decode(jpeg_encode(px, 97), "jpeg")) >= 40.0
+
+
+def test_jpeg_lut_decoder_parity_with_bitwise():
+    """Round-4 #3: the vectorized window/LUT entropy decoder is pinned
+    byte-identical to the per-bit reference reader across sizes and
+    qualities (incl. non-multiple-of-8 dims and random content that
+    exercises ZRL/EOB/long-code paths)."""
+    import numpy as np
+
+    from azuresearchcrawlervector_spark.core.images import generate_pixels
+    from azuresearchcrawlervector_spark.core.jpeg import (
+        jpeg_decode, jpeg_encode,
+    )
+
+    rng = np.random.default_rng(99)
+    cases = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+             for h, w in [(8, 8), (17, 23), (32, 24), (64, 48)]]
+    cases += [generate_pixels(f"img-{i}", 64, 48) for i in range(3)]
+    for px in cases:
+        for q in (35, 90, 97):
+            buf = jpeg_encode(px, q)
+            assert np.array_equal(jpeg_decode(buf, engine="lut"),
+                                  jpeg_decode(buf, engine="bitwise"))
