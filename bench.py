@@ -7,6 +7,12 @@ Two parts:
    extraction UDF, pseudo-embeddings, image decode+PSNR validation —
    reporting frontier URLs/sec and fetched image rows/sec.
 2. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+3. sf1 (10x) dedup/similarity suite (round-3 VERDICT #2/#8): the SCALE
+   paths only (LSH near-dup, not the quadratic exact baseline) on a
+   deterministic 10x replication of the documents/embeddings tables,
+   with each query's time checked against a <= 2x-linear budget from
+   its small-scale measurement — this is what catches a plan regression
+   the fixed-overhead-dominated sf0.1 numbers can't.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
@@ -14,6 +20,7 @@ Env knobs:
   BENCH_URLS           synthetic web size (default 120_000)
   BENCH_HOSTS          host count (default 100)
   BENCH_SKIP_CRAWL     "1" to skip part 1
+  BENCH_SKIP_SF1       "1" to skip part 3
 """
 
 from __future__ import annotations
@@ -135,6 +142,83 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> tuple[dict, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# the 10x suite runs the SCALE paths only: the exact embedding near-dup
+# (quadratic within label blocks) stays at sf0.1 as the LSH recall
+# cross-check and would dominate the 10x run for no signal (VERDICT #8)
+SF1_SUITE = [
+    "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash64",
+    "emb_neardup_lsh", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
+    "dedup_clusters_star",
+]
+_REP_OFF = 10_000_000  # replica id offset: >> any testdata id
+
+
+def make_sf10_tables(spark, sf_dir: str, out_dir: str) -> None:
+    """Deterministic 10x scale-up of documents + embeddings (no external
+    data, pure column expressions). Replicas are made DISSIMILAR across
+    replica index so similarity workloads grow LINEARLY: every word
+    gets a replica suffix (cross-replica shingle/token overlap = 0,
+    within-replica pair structure identical to the original), and
+    embeddings get a deterministic per-(vec_id, rep, i) perturbation so
+    cross-replica cosines fall away from the near-dup threshold.
+    Replica 0 is the untouched original."""
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.crossJoin(reps)
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.expr(r"regexp_replace(text, '(\\S+)', concat('$1~', rep))")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(_REP_OFF))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    (
+        emb.crossJoin(reps)
+        .withColumn(
+            "embedding",
+            F.expr("transform(embedding, (x, i) -> CAST(x + 0.4 * rep *"
+                   " sin(vec_id * 0.7331 + rep * 2.1709 + i * 0.9113)"
+                   " AS FLOAT))"))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(_REP_OFF))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def sf1_bench(spark, qs, sf_dir: str, base_times: dict) -> dict:
+    """10x suite → per-query {sf01_sec, sf1_sec, x_linear} where
+    x_linear = sf1_sec / (10 * sf01_sec); budget: <= 2.0 (queries over
+    budget are NAMED in over_2x_linear)."""
+    out_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    try:
+        t0 = time.monotonic()
+        make_sf10_tables(spark, sf_dir, out_dir)
+        datagen_s = time.monotonic() - t0
+        rows: dict[str, dict] = {}
+        for name in SF1_SUITE:
+            base = base_times.get(name)
+            if base is None:
+                base, _ = time_query(qs[name], spark, sf_dir)
+            sec, _n = time_query(qs[name], spark, out_dir)
+            rows[name] = {
+                "sf01_sec": round(base, 3), "sf1_sec": round(sec, 3),
+                "x_linear": round(sec / (10 * base), 3) if base else None,
+            }
+        return {
+            "datagen_sec": round(datagen_s, 2),
+            "queries": rows,
+            "over_2x_linear": [n for n, r in rows.items()
+                               if (r["x_linear"] or 0) > 2.0],
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from azuresearchcrawlervector_spark.session import get_spark
@@ -166,6 +250,12 @@ def main():
         sec, _n = time_query(qs[name], spark, sf_dir)
         qtimes[name] = round(sec, 3)
 
+    sf1 = {}
+    if os.environ.get("BENCH_SKIP_SF1") != "1":
+        sf1 = sf1_bench(spark, qs, sf_dir, qtimes)
+        for name, r in sf1["queries"].items():
+            qtimes[f"{name}_sf1"] = r["sf1_sec"]
+
     crawl, crawl_bound = {}, {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
         crawl, crawl_bound = crawl_bench(spark, n_urls, n_hosts)
@@ -182,6 +272,7 @@ def main():
         "sf": sf,
         "crawl": crawl,
         "crawl_politeness_bound": crawl_bound,
+        "sf1": sf1,
         "cpus": cpus,
     }
     print(json.dumps(out))
