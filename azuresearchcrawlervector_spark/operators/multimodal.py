@@ -7,13 +7,17 @@ What is REAL here (fully implemented + tested):
   partitioning, UDF signatures, Arrow batch shapes.
 
 What is REAL here, continued:
+- baseline JPEG (core/jpeg.py — sequential DCT, vectorized LUT entropy
+  decode; the 'jpeg' fmt everywhere including the 120k-row bench),
 - WAV audio: stdlib-parsed PCM decode + RMS/zero-crossing/spectral-
-  centroid features (core/audio.py) — a real container format, no
-  external codec needed.
+  centroid features, and the ITU-T G.711 µ-law compressed codec
+  (core/audio.py),
+- MJPEG-in-AVI video (core/video.py — RIFF/AVI container + per-frame
+  baseline JPEG): sample_frames parses the real container and
+  entropy-decodes only the sampled frames.
 
 What is a clearly-marked STUB (no codec libraries in this container):
-- JPEG DCT decode (core/images.py qpng stands in, see its docstring),
-- compressed audio (mp3/ogg/...) + video frame-sample:
+- compressed audio (mp3/ogg) + non-AVI video (mp4/webm):
   ``NotImplementedError`` for real codecs, with a deterministic fake
   behind ``allow_fake=True`` so the batch plumbing is exercised
   end-to-end by tests. Swapping in PIL/ffmpeg touches ONLY the kernel
@@ -143,19 +147,42 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
                   allow_fake: bool = False) -> DataFrame:
     """Frame sampling over a video BINARY column (media_id, bytes, fmt).
 
-    STUB codec: with allow_fake the 'frames' are deterministic byte slices
-    of the container payload (so batch shape, explode-like fan-out and
-    partitioning are all real); raises NotImplementedError otherwise.
+    REAL codec for MJPEG-in-AVI (core/video.py — RIFF container + one
+    baseline JPEG per frame): frames 0, every_n, 2·every_n, … up to
+    n_frames are entropy-decoded (intra-only MJPEG = O(sampled frames),
+    never a full-stream decode) and emitted as lossless PNG bytes.
+
+    Other containers (mp4/webm/…): no codec in this container image —
+    with allow_fake the 'frames' are deterministic byte slices of the
+    payload (so batch shape, explode-like fan-out and partitioning are
+    all real); raises NotImplementedError otherwise.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.images import png_encode
+        from ..core.video import is_avi, mjpeg_avi_decode
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(buf)
+                if is_avi(data):
+                    # REAL path: sample every_n-th frame, bounded by
+                    # n_frames and the stream length
+                    _probe, meta = mjpeg_avi_decode(data, frame_indices=[])
+                    total = meta["n_frames"]
+                    want = [fi * every_n for fi in range(n_frames)
+                            if fi * every_n < total]
+                    decoded, _ = mjpeg_avi_decode(data, frame_indices=want)
+                    for fi, px in zip(want, decoded):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(png_encode(px))
+                    continue
                 if not allow_fake:
                     raise NotImplementedError(
-                        "video decode requires an external codec; "
-                        "pass allow_fake=True for the test stand-in")
-                data = bytes(buf)
+                        "non-AVI video decode requires an external codec; "
+                        "use MJPEG/AVI (real, core/video.py) or pass "
+                        "allow_fake=True for the test stand-in")
                 for fi in range(n_frames):
                     off = (fi * every_n) % max(len(data), 1)
                     ids.append(mid)
