@@ -10,7 +10,8 @@ What is REAL here, continued:
 - baseline JPEG (core/jpeg.py — sequential DCT, vectorized LUT entropy
   decode; the 'jpeg' fmt everywhere including the 120k-row bench),
 - WAV audio: stdlib-parsed PCM decode + RMS/zero-crossing/spectral-
-  centroid features, and the ITU-T G.711 µ-law compressed codec
+  centroid features, the ITU-T G.711 µ-law compressed codec, and IMA
+  ADPCM (WAVE fmt 0x0011 — adaptive delta prediction, 4 bits/sample)
   (core/audio.py),
 - MJPEG-in-AVI video (core/video.py — RIFF/AVI container + per-frame
   baseline JPEG): sample_frames parses the real container and
@@ -106,11 +107,18 @@ def decode_audio(buf: bytes, fmt: str, allow_fake: bool = False) -> np.ndarray:
         from ..core.audio import g711u_decode
         pcm, _rate = g711u_decode(buf)
         return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
+    if fmt == "adpcm":
+        # REAL compressed audio #2: IMA ADPCM in the real WAVE
+        # container (fmt tag 0x0011) — adaptive delta prediction,
+        # 4 bits/sample (core/audio.py)
+        from ..core.audio import adpcm_decode
+        pcm, _rate = adpcm_decode(buf)
+        return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
     if not allow_fake:
         raise NotImplementedError(
             f"{fmt!r} decode requires an external codec (not in this "
             "container); pass allow_fake=True for the deterministic "
-            "test stand-in, or use fmt='wav'/'g711u' (real codecs)")
+            "test stand-in, or use fmt='wav'/'g711u'/'adpcm' (real codecs)")
     seed = int.from_bytes(buf[:8].ljust(8, b"\0"), "little", signed=False) % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32)
