@@ -454,7 +454,12 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     by the fixpoint tests). ``stats`` (optional) receives
     {"rounds": r} for convergence-bound assertions.
     """
-    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # materialize the pair list ONCE: nodes and the initial edge set
+    # both derive from it, and without this the (possibly expensive)
+    # upstream pair-generation plan re-executes when the caller
+    # evaluates the returned labels (it rides in through `nodes`)
+    e0 = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+          .localCheckpoint(eager=True))
     nodes = (e0.select(F.col("u").alias("id"))
              .unionByName(e0.select(F.col("v").alias("id"))).distinct())
     # canonical (big, small) orientation; self-pairs carry no structure.
