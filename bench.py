@@ -209,11 +209,32 @@ def sf1_bench(spark, qs, sf_dir: str, base_times: dict) -> dict:
                 "sf01_sec": round(base, 3), "sf1_sec": round(sec, 3),
                 "x_linear": round(sec / (10 * base), 3) if base else None,
             }
+        # the documented LSH bucket-resolution knob, demonstrated: at
+        # 10x rows the default 2^4 buckets/table hold 10x the
+        # population and within-bucket candidate pairs grow
+        # ~quadratically (the emb_neardup_lsh drift above). Two more
+        # hyperplanes per table (2^6 buckets) re-shrink buckets ~4x —
+        # measured here so the knob's effect is a number, not a claim.
+        from azuresearchcrawlervector_spark.operators.dedup import (
+            embedding_neardup_lsh,
+        )
+        emb10 = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        t0 = time.monotonic()
+        n_pairs = embedding_neardup_lsh(
+            emb10, dim=64, threshold=0.35, planes_per_table=6).count()
+        rescaled = time.monotonic() - t0
+        base = rows["emb_neardup_lsh"]
         return {
             "datagen_sec": round(datagen_s, 2),
             "queries": rows,
             "over_2x_linear": [n for n, r in rows.items()
                                if (r["x_linear"] or 0) > 2.0],
+            "emb_lsh_rescaled_sf1": {
+                "planes_per_table": 6, "sec": round(rescaled, 3),
+                "pairs": n_pairs,
+                "x_linear_vs_sf01_default": round(
+                    rescaled / (10 * base["sf01_sec"]), 3),
+            },
         }
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
