@@ -199,3 +199,16 @@ def test_engine_sharded_resume_identical(spark, tmp_path):
     b = sorted((r["seq"], r["url"], r["id"])
                for r in res_kr.documents(spark).collect())
     assert a == b and len(a) == 19
+
+
+def test_merge_delta_sharded_files_empty_delta(spark, tmp_path):
+    """An empty wave delta writes nothing and returns no dirty shards."""
+    from azuresearchcrawlervector_spark.operators.seen import (
+        merge_delta_sharded_files,
+    )
+
+    out = str(tmp_path / "sk0")
+    empty = spark.createDataFrame([], "url_hash long")
+    assert merge_delta_sharded_files(
+        empty, "url_hash", 8, 1 << 13, {}, out, 0) == {}
+    assert not [f for f in os.listdir(out) if f.endswith(".bin")]

@@ -224,3 +224,19 @@ def test_sitemap_crawl_dataframe_bodies_identical(spark, tmp_path):
     b = sorted((r["seq"], r["url"], r["id"])
                for r in res_x.documents(spark).collect())
     assert a == b and a
+
+
+def test_distributed_seeds_host_without_bodies(spark):
+    """A root whose host has no sitemap documents yields no seeds (same
+    as the driver loop: every probe fetch misses), without disturbing
+    hosts that do."""
+    from azuresearchcrawlervector_spark.plans.crawl import (
+        sitemap_seeds_distributed,
+    )
+
+    bodies = {f"{ROOT}/sitemap.xml": make_urlset([f"{ROOT}/p1"])}
+    got = sitemap_seeds_distributed(
+        spark, [ROOT, "http://empty.example.com"],
+        _bodies_df(spark, bodies)).collect()
+    assert [(r["url"], r["root_host"]) for r in got] == \
+        [(f"{ROOT}/p1", "s.example.com")]
