@@ -288,6 +288,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ivf_topk(em, [float(x) for x in qvec], k=10)
 
+    def q_ann_lsh_part(spark, sf):
+        # the PARTITIONED layout variant: same defaults as q_ann_lsh
+        # (seeded planes, k=10, multiprobe=2) but the table is written
+        # bucket-partitioned first, so the probe set becomes a
+        # file-level PartitionFilters predicate — results (and the
+        # DuckDB oracle) identical to the in-scan filter variant
+        import tempfile
+
+        from azuresearchcrawlervector_spark.operators.similarity import (
+            ann_topk_lsh_partitioned, hyperplanes, write_lsh_partitioned,
+        )
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        q = [float(x) for x in qvec]
+        path = tempfile.mkdtemp(prefix="acs_lshpart_") + "/emb"
+        write_lsh_partitioned(em, path, hyperplanes(len(q), 8))
+        return ann_topk_lsh_partitioned(spark, path, q, k=10)
+
+    def q_ann_ivf_part(spark, sf):
+        # mirror for IVF: ivf_cid-partitioned write + pruning probe,
+        # same centroids/nprobe as q_ann_ivf, same oracle
+        import tempfile
+
+        from azuresearchcrawlervector_spark.operators.similarity import (
+            ann_topk_ivf_partitioned, write_ivf_partitioned,
+        )
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        qvec = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        q = [float(x) for x in qvec]
+        path = tempfile.mkdtemp(prefix="acs_ivfpart_") + "/emb"
+        write_ivf_partitioned(em, path, n_centroids=16)
+        return ann_topk_ivf_partitioned(spark, path, q, k=10,
+                                        n_centroids=16, nprobe=4)
+
     def q_crawl_flagship(spark, sf):
         return entry(spark).select("seq", "url", "depth", "id", "title")
 
@@ -323,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash,
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
+        "ann_topk_lsh_partitioned": q_ann_lsh_part,
+        "ann_topk_ivf_partitioned": q_ann_ivf_part,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -717,4 +753,9 @@ def oracle_sql() -> dict[str, str]:
     # the star-CC path implements the SAME clustering contract — one
     # oracle, two Spark algorithms (label-prop and large-star/small-star)
     sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    # partitioned-layout ANN variants return identical results to their
+    # in-scan twins (the bucket/list filter becomes partition pruning) —
+    # one oracle each, two physical layouts proven against it
+    sql["ann_topk_lsh_partitioned"] = sql["ann_topk_lsh"]
+    sql["ann_topk_ivf_partitioned"] = sql["ann_topk_ivf"]
     return sql
