@@ -410,11 +410,20 @@ def _lut16(bits: list[int], vals: list[int]) -> list[int]:
     return got
 
 
-def _scan_windows(data: bytes, pos: int) -> list[int]:
+# Above this many scan windows (= scan bits), keep W as a numpy array:
+# a python-list W costs ~36 bytes/window (list slot + int object) vs 8
+# numpy — a ~1 MB entropy scan as a list is ~300 MB transient per task.
+# List indexing is only ~1.5x faster per symbol, so the cap trades a
+# little speed on huge images for bounded memory inside Arrow batches.
+_WINDOW_LIST_MAX = 1 << 21  # 2M windows ≈ 256 KB of scan bytes
+
+
+def _scan_windows(data: bytes, pos: int, as_list: bool | None = None):
     """Entropy-coded scan bytes from ``pos`` → W[i] = the 16 bits
-    starting at bit offset i, as a python list. Stuffed 0x00 after 0xFF
-    removed; the scan ends at the first real marker (0xFF followed by
-    non-zero). All numpy until the final tolist()."""
+    starting at bit offset i. Stuffed 0x00 after 0xFF removed; the scan
+    ends at the first real marker (0xFF followed by non-zero). Returns
+    a python list for small scans (fastest per-symbol indexing) and a
+    numpy int64 array past ``_WINDOW_LIST_MAX`` (bounded memory)."""
     arr = np.frombuffer(data, dtype=np.uint8)[pos:]
     marker = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
     seg = arr[:int(marker[0])] if len(marker) else arr
@@ -427,7 +436,9 @@ def _scan_windows(data: bytes, pos: int) -> list[int]:
     W = np.zeros(n + 16, dtype=np.int64)
     for j in range(16):
         W = (W << 1) | padded[j:j + n + 16]
-    return W.tolist()
+    if as_list is None:
+        as_list = len(W) <= _WINDOW_LIST_MAX
+    return W.tolist() if as_list else W
 
 
 def _decode_scan_lut(data: bytes, pos: int, tables: list[tuple],

@@ -18,6 +18,8 @@ groupBy on pair keys → map-side combine applies.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -31,19 +33,48 @@ def _widen(df: DataFrame) -> DataFrame:
     splits than cores — the explode/UDF stages below otherwise run
     inside the (possibly single-task) scan stage. No-op at scale.
 
-    Width is judged by the scan's file count (``inputFiles``) — no
-    ``df.rdd`` conversion (that materializes a Python RDD wrapper per
-    call). File count is a LOWER bound on scan splits (one oversized
-    file splits at maxPartitionBytes), so the only cost of the
-    estimate is a round-robin shuffle that wasn't strictly needed, and
-    only on inputs with fewer files than cores — i.e. never on a real
-    at-scale table. Non-file inputs (in-memory relations: tests,
-    createDataFrame) report no files and are treated as narrow.
+    Width is estimated without a Python ``df.rdd`` conversion (that
+    materializes a Python RDD wrapper per call):
+
+    - file-backed scans: splits ≈ Σ ceil(file_bytes /
+      maxPartitionBytes) over ``inputFiles`` — so a big SINGLE-file
+      table (which the scan itself splits) is correctly judged wide
+      and not shuffled. Files we cannot stat (remote schemes) count
+      as one split each, i.e. the old file-count lower bound.
+    - in-memory/derived inputs (``inputFiles() == []``): the physical
+      plan's output partition count via the JVM ``toRdd`` handle
+      (plans the query, does not run it); falls back to "narrow" if
+      the handle is unavailable.
+
+    Either estimate erring low costs only a round-robin shuffle that
+    wasn't strictly needed — and only on inputs judged narrower than
+    the core count, which a real at-scale table never is.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < parallelism:
-        return df.repartition(parallelism)
-    return df
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        if len(files) >= parallelism:
+            return df
+        try:
+            max_pb = int(
+                spark._jsparkSession.sessionState().conf()
+                .filesMaxPartitionBytes())
+        except Exception:
+            max_pb = 128 << 20
+        splits = 0
+        for f in files:
+            try:
+                sz = os.path.getsize(f[7:] if f.startswith("file:") else f)
+                splits += max(1, -(-sz // max_pb))
+            except OSError:
+                splits += 1
+        return df if splits >= parallelism else df.repartition(parallelism)
+    try:
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        n = 0
+    return df if n >= parallelism else df.repartition(parallelism)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -467,9 +498,11 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     # the logical plan (O(log n) rounds would otherwise nest O(log n)
     # joins deep — Catalyst analysis alone would dominate) and
     # materializes the round so the signature collect and the next
-    # round share one computation. Executor-local storage; an executor
-    # loss mid-algorithm recomputes the round — the standard tradeoff
-    # for iterative graph algorithms.
+    # round share one computation. Executor-local storage with lineage
+    # TRUNCATED: an executor loss mid-algorithm fails the job (lost
+    # localCheckpoint blocks are unrecoverable) and needs a caller-level
+    # retry — acceptable for an O(log n)-round batch job; use reliable
+    # checkpoint() where executor churn is expected.
     edges = (
         e0.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
@@ -509,7 +542,12 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
         prev_sig = sig
     if stats is not None:
         stats["rounds"] = rounds
-    star = edges.select(F.col("u").alias("id"), F.col("v").alias("lab"))
+    # At the star fixpoint every node has exactly one incident edge (to
+    # its cluster min), so the min-agg is a no-op; if the loop exited at
+    # max_iters SHORT of the fixpoint, it guarantees the one-row-per-
+    # doc_id output contract still holds (labels merely not yet final).
+    star = (edges.groupBy(F.col("u").alias("id"))
+            .agg(F.min("v").alias("lab")))
     return (
         nodes.join(star, "id", "left")
         .select(F.col("id").alias("doc_id"),

@@ -294,6 +294,14 @@ def merge_delta_sharded_files(
     import os
     import uuid
 
+    # The Spark-side partitioner uses pmod(int64 hash, n_shards) while the
+    # task-side shard id uses uint64 % n_shards; for NEGATIVE hashes these
+    # agree only when n_shards divides 2^64.  A non-power-of-two n_shards
+    # would split one shard's rows across two tasks whose last rename
+    # silently drops the other's bits — lost dedup.  Same invariant as
+    # ShardedBloom / ShardedSketchFiles.
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
+
     spark = df.sparkSession
     b_index = spark.sparkContext.broadcast(
         {int(s): p for s, p in index.items()})
