@@ -325,10 +325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_crawl_flagship(spark, sf):
         return entry(spark).select("seq", "url", "depth", "id", "title")
 
-    # -- non-SQL-expressible (rows-only check, by design) -----------------
     def q_minhash_lsh(spark, sf):
+        # md5_60 hash mode — every step (md5 shingle hash, mod-2^61-1
+        # permutations, md5 band buckets) reproducible in DuckDB; the
+        # blake2b fast path is exercised by tests/bench.
         d = spark.read.parquet(_t(sf, "documents"))
-        return minhash_lsh_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+        return (minhash_lsh_pairs(d, threshold=0.5, hash_mode="md5_60")
+                .orderBy("id_a", "id_b"))
 
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -511,6 +514,64 @@ def _crawl_flagship_oracle_sql() -> str:
                id, title
         FROM (VALUES {rows}) AS t(seq, url, depth, id, title)
         ORDER BY seq
+    """
+
+
+def _minhash_lsh_oracle_sql(n_hashes: int = 64, bands: int = 16,
+                            threshold: float = 0.5) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_mode="md5_60"): md5-60
+    shingle hash, the SAME seeded (a, b) permutation constants inlined
+    as VALUES, exact (a*h+b) mod 2^61-1 in HUGEINT, md5 band buckets
+    over the comma-joined signature longs, and the sig-agreement
+    estimate filter. Every est_jaccard value is m/64 — at most 6
+    decimal digits, so round(,6) is exact on both engines."""
+    from azuresearchcrawlervector_spark.operators.dedup import _minhash_params
+
+    a, b = _minhash_params(n_hashes)
+    params = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
+    rpb = n_hashes // bands
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i.g:i.g+2], ' ') AS shingle
+          FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+          WHERE i.g <= len(ts) - 2
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(ts, ' ')
+          FROM toks WHERE len(ts) BETWEEN 1 AND 2),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+          FROM sh),
+        params(i, a, b) AS (VALUES {params}),
+        mins AS (
+          SELECT doc_id, p.i,
+                 min(CAST((CAST(p.a AS HUGEINT) * h + p.b)
+                          % 2305843009213693951 AS BIGINT)) AS mv
+          FROM hashed, params p GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, i // {rpb} AS band,
+                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bh
+          FROM mins GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 round(sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END)
+                       / {float(n_hashes)}, 6) AS est_jaccard
+          FROM cand c
+          JOIN mins ma ON ma.doc_id = c.id_a
+          JOIN mins mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, est_jaccard FROM est
+        WHERE est_jaccard >= {threshold} ORDER BY id_a, id_b
     """
 
 
@@ -742,9 +803,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "crawl_flagship": _crawl_flagship_oracle_sql(),
-        # minhash_lsh_dups: intentionally no oracle — the banded-LSH
-        # candidate set depends on blake2b + Spark's internal hash()
-        # (neither exists in DuckDB); driver records the rows-only check.
+        "minhash_lsh_dups": _minhash_lsh_oracle_sql(),
     }
 
 

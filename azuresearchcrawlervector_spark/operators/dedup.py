@@ -207,16 +207,33 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, k: int = 3, seed: int = 42,
     chunk_shingles: int = MINHASH_CHUNK_SHINGLES,
+    shingle_hash: str = "blake2b",
 ) -> DataFrame:
     """(doc_id, sig ARRAY<LONG>) — numpy kernel over Arrow batches.
 
-    Shingle hashing uses blake2b-to-int64 of the shingle bytes
-    (deterministic across executors), then n_hashes universal-hash
-    permutations (a*h+b mod 2^61-1) in exact uint64 arithmetic — the
-    whole Arrow batch's shingles are permuted in ONE (ΣN, n_hashes)
-    vectorized pass with a per-doc segmented min (minimum.reduceat).
+    Shingle hashing (``shingle_hash``):
+      - "blake2b" (default): blake2b-to-int64 of the shingle bytes mod
+        2^61-1 — the fast path (one 8-byte digest).
+      - "md5_60": top 60 bits of md5(shingle) parsed as hex — EXACTLY
+        reproducible in ANSI-SQL engines (DuckDB has md5 but not
+        blake2b), used by the driver oracle twin. 2^60 < 2^61-1, so
+        the value is already a valid mod-M61 residue.
+
+    Then n_hashes universal-hash permutations (a*h+b mod 2^61-1) in
+    exact uint64 arithmetic — the whole Arrow batch's shingles are
+    permuted in ONE (ΣN, n_hashes) vectorized pass with a per-doc
+    segmented min (minimum.reduceat).
     """
     import hashlib
+
+    if shingle_hash == "md5_60":
+        def _sh(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    else:
+        def _sh(s: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                "little") % MERSENNE61
 
     # the signature kernel is the CPU-heavy stage — if the input scan
     # produced fewer splits than cores (small file, one row-group), the
@@ -242,10 +259,7 @@ def minhash_signatures(
                 per_doc.append(None)
                 continue
             start = len(flat)
-            flat.extend(
-                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") % MERSENNE61
-                for s in shingles
-            )
+            flat.extend(_sh(s) for s in shingles)
             per_doc.append(np.arange(start, len(flat)))
         if flat:
             hs = np.asarray(flat, dtype=np.uint64)
@@ -285,22 +299,42 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5,
-    seed: int = 42,
+    seed: int = 42, hash_mode: str = "blake2b",
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation + exact signature-estimate
     filter. bands=16 × rows=4 over 64 hashes → S-curve midpoint ~0.5.
 
     The 10^10-scale path: only same-(band, band-hash) rows join; the final
     estimate is sig-agreement fraction (no second pass over raw text).
+
+    ``hash_mode``:
+      - "blake2b" (default): blake2b shingle hash + Spark's internal
+        ``hash()`` over the band's signature slice — the fast path.
+      - "md5_60": md5-based shingle hash AND band bucket = md5 of the
+        band's comma-joined signature longs — every step reproducible
+        in ANSI SQL, used by the driver's DuckDB oracle twin. Bucket
+        membership is identical in distribution (any injective-enough
+        map of the band slice works); the verified output pairs differ
+        only where 4-long band-hash collisions differ, i.e. ~never.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, k, seed).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes, k, seed,
+        shingle_hash="md5_60" if hash_mode == "md5_60" else "blake2b",
+    ).persist()
+    if hash_mode == "md5_60":
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> md5(array_join(transform("
+            f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}),"
+            f" x -> cast(x as string)), ',')))")
+    else:
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))")
     banded = sig.select(
         "doc_id",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {bands - 1}),"
-                   f" b -> hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))")
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(band_expr)).alias("band", "band_hash"),
     )
     cand = (
         banded.alias("x")

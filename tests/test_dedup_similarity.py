@@ -67,6 +67,20 @@ def test_minhash_lsh_finds_dups(spark):
     assert (4, 5) not in keys
 
 
+def test_minhash_md5_mode_finds_same_dups(spark):
+    # the SQL-reproducible md5_60 mode (oracle twin) must find the same
+    # near-dup structure as the blake2b fast path; est_jaccard values
+    # differ only by per-hash-family sampling noise, not structure
+    pairs = minhash_lsh_pairs(
+        dup_docs(spark), threshold=0.5, hash_mode="md5_60").collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert (1, 3) in keys
+    assert (4, 5) not in keys
+    exact = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert exact[(1, 2)] == 1.0  # identical docs: all 64 minima agree
+
+
 def test_minhash_mulmod_kernel_parity():
     """The uint64 split-operand mulmod kernel must agree bit-for-bit with
     arbitrary-precision (a*h + b) mod 2^61-1, including edge operands."""
