@@ -45,7 +45,8 @@ def time_query(fn, *args):
 
 
 def _run_crawl(spark, work, tag, pages_r, images_r, robots, n_hosts,
-               max_pages, iter_window_ms, payload_buckets=0) -> dict:
+               max_pages, iter_window_ms, payload_buckets=0,
+               validate_images=True) -> dict:
     from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
     from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
 
@@ -62,7 +63,8 @@ def _run_crawl(spark, work, tag, pages_r, images_r, robots, n_hosts,
     t0 = time.monotonic()
     eng = CrawlEngine(
         spark, pages_r, cfg, f"{work}/ckpt_{tag}", images=images_r,
-        robots=robots, seeds=seeds, track_order=False, validate_images=True,
+        robots=robots, seeds=seeds, track_order=False,
+        validate_images=validate_images,
     )
     res = eng.run()
     crawl_s = time.monotonic() - t0
@@ -127,16 +129,37 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> tuple[dict, dict]:
         images_r = spark.read.parquet(f"{work}/images.parquet")
         robots = robots_df(spark, [f"host{i}.bench.example.com" for i in range(n_hosts)],
                            crawl_delay_ms=100)
-        main_run = _run_crawl(spark, work, "main", pages_r, images_r, robots,
-                              n_hosts, n_urls, iter_window_ms=3_600_000,
-                              payload_buckets=buckets)
+        # >= 2 repeats per crawl row (best-of recorded, spread kept):
+        # single-sample driver runs on this shared box have a 2-4x noise
+        # band, which made round-over-round comparisons noise reads
+        repeats = max(1, int(os.environ.get("BENCH_CRAWL_REPEATS", "2")))
+
+        def best_of(tag, max_p, window_ms, **kw):
+            runs = [
+                _run_crawl(spark, work, f"{tag}{r}", pages_r, images_r,
+                           robots, n_hosts, max_p, iter_window_ms=window_ms,
+                           payload_buckets=buckets, **kw)
+                for r in range(repeats)
+            ]
+            best = min(runs, key=lambda x: x["crawl_sec"])
+            best["repeat_secs"] = [x["crawl_sec"] for x in runs]
+            return best
+
+        main_run = best_of("main", n_urls, 3_600_000)
         main_run["datagen_sec"] = round(datagen_s, 2)
         main_run["payload_buckets"] = buckets
         bound_n = min(n_urls, 30_000)
-        bound_run = _run_crawl(spark, work, "bound", pages_r, images_r, robots,
-                               n_hosts, bound_n, iter_window_ms=100_000,
-                               payload_buckets=buckets)
+        bound_run = best_of("bound", bound_n, 100_000)
         bound_run["budget_per_host_wave"] = 1000
+        # decode-cost decomposition (round-4 VERDICT #5): one extra bound
+        # run with image validation off isolates how much of the bound
+        # row is JPEG/PNG decode work vs frontier/politeness machinery
+        nodec = _run_crawl(spark, work, "boundnd", pages_r, images_r,
+                           robots, n_hosts, bound_n, iter_window_ms=100_000,
+                           payload_buckets=buckets, validate_images=False)
+        bound_run["no_decode_sec"] = nodec["crawl_sec"]
+        bound_run["decode_overhead_sec"] = round(
+            bound_run["crawl_sec"] - nodec["crawl_sec"], 2)
         return main_run, bound_run
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -296,7 +319,19 @@ def main():
         "sf1": sf1,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the round artifact must never depend on stdout tail-capture size
+    # again (BENCH_r04 ended up `parsed: null`): always persist the full
+    # JSON next to the repo's bench history too
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "last_run.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":
