@@ -103,11 +103,80 @@ def _ivf_centroids(df: DataFrame, n_centroids: int,
                    vec_col: str, id_col: str) -> list[tuple[int, list]]:
     """Deterministic data-derived centroids: the table's first
     ``n_centroids`` vectors by id, sorted (no training step, no
-    external data). O(n_centroids) collect."""
+    external data). O(n_centroids) collect.
+
+    This is the ORACLE-TWIN mode (bit-reproducible in ANSI SQL); it
+    gives no inverted-list balance guarantee on skewed data — use
+    train_ivf_centroids for the at-scale layout."""
     cents = (df.filter(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
              .collect())
     return sorted((int(r["cid"]), list(r["ce"])) for r in cents)
+
+
+def train_ivf_centroids(
+    df: DataFrame, n_centroids: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    sample_size: int = 4096, iters: int = 8, seed: int = 42,
+) -> list[tuple[int, list]]:
+    """Deterministic sampled spherical k-means centroids — the at-scale
+    IVF build: balanced inverted lists even when row order correlates
+    with content (where positional first-n centroids degenerate to one
+    hot list and probe cost approaches a scan).
+
+    Scale shape: the only distributed step is the sample — the first
+    ``sample_size`` rows ordered by xxhash64(id) (TakeOrdered: one O(n)
+    scan with a per-partition heap, no full sort, collect is
+    O(sample)). Training is driver-side numpy over the sample —
+    O(sample × n_centroids × dim) per Lloyd iteration, microseconds at
+    these sizes — with k-means++ init from a fixed-seed generator, so
+    the same table always yields the same centroids.
+
+    Spherical variant (unit-normalized points and centroids, max-dot
+    assignment) because the engine's similarity is cosine. Empty
+    clusters are reseeded from the point farthest from its centroid
+    (deterministic). Returns the same (index, vector) shape
+    with_ivf_assignment consumes.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_size).collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(nrm == 0, 1.0, nrm)
+    n = len(X)
+    k = min(n_centroids, n)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ init (cosine distance = 1 - dot on unit vectors)
+    cents = np.empty((k, X.shape[1]))
+    cents[0] = X[int(rng.integers(n))]
+    d2 = np.maximum(1.0 - X @ cents[0], 0.0)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            cents[j] = X[int(rng.integers(n))]
+        else:
+            cents[j] = X[int(rng.choice(n, p=d2 / tot))]
+        d2 = np.minimum(d2, np.maximum(1.0 - X @ cents[j], 0.0))
+
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        newc = np.zeros_like(cents)
+        np.add.at(newc, assign, X)
+        counts = np.bincount(assign, minlength=k)
+        for j in np.flatnonzero(counts == 0):
+            worst = int(np.argmax(1.0 - (X * cents[assign]).sum(axis=1)))
+            newc[j] = X[worst]
+            counts[j] = 1
+        newc /= np.linalg.norm(newc, axis=1, keepdims=True)
+        if np.allclose(newc, cents, atol=1e-12):
+            cents = newc
+            break
+        cents = newc
+    return [(j, [float(x) for x in cents[j]]) for j in range(k)]
 
 
 def with_ivf_assignment(df: DataFrame, cents: list[tuple[int, list]],
@@ -146,32 +215,59 @@ def ivf_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     n_centroids: int = 16, nprobe: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: str = "positional",
 ) -> DataFrame:
     """IVF-flat ANN: every row is assigned to its max-cosine centroid
     (with_ivf_assignment); the query probes its ``nprobe`` nearest
     centroids and brute-forces inside those inverted lists. At 10^10
     rows the assigned table is written partitioned by ``ivf_cid``
     (write_ivf_partitioned — assignment is the one-off build cost) and
-    the probe prunes at the file level (ann_topk_ivf_partitioned)."""
-    cents = _ivf_centroids(df, n_centroids, vec_col, id_col)
+    the probe prunes at the file level (ann_topk_ivf_partitioned).
+
+    ``centroids``: "positional" (first-n ids — oracle-twin mode) or
+    "trained" (train_ivf_centroids sampled k-means — balanced lists on
+    skewed data)."""
+    cents = _resolve_centroids(df, n_centroids, vec_col, id_col, centroids)
     assigned = with_ivf_assignment(df, cents, vec_col)
     probe = _ivf_probe(cents, query_vec, nprobe)
     cand = assigned.filter(F.col("ivf_cid").isin(probe))
     return topk_cosine(cand, query_vec, k, vec_col, id_col)
 
 
+def _resolve_centroids(df: DataFrame, n_centroids: int, vec_col: str,
+                       id_col: str, mode: str) -> list[tuple[int, list]]:
+    if mode == "trained":
+        return train_ivf_centroids(df, n_centroids, vec_col, id_col)
+    return _ivf_centroids(df, n_centroids, vec_col, id_col)
+
+
+def _centroids_sidecar(path: str) -> str:
+    return path.rstrip("/") + "_centroids.json"
+
+
 def write_ivf_partitioned(
     df: DataFrame, path: str, n_centroids: int = 16,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: str = "positional",
 ) -> None:
     """The 10^10-row IVF layout, mirror of write_lsh_partitioned:
     materialize the inverted-list id as a PARTITION column so a query's
     nprobe set prunes at the FILE level (non-probed list directories
     are never opened; `.explain` shows the probe list under
-    PartitionFilters)."""
-    cents = _ivf_centroids(df, n_centroids, vec_col, id_col)
+    PartitionFilters).
+
+    ``centroids``: "positional" (oracle-twin mode, first-n ids) or
+    "trained" (sampled k-means — the at-scale default for skewed data).
+    The centroid vectors are persisted in a JSON sidecar next to the
+    table so probes never re-derive them; the sidecar IS the index
+    metadata (tiny: n_centroids × dim floats)."""
+    import json
+
+    cents = _resolve_centroids(df, n_centroids, vec_col, id_col, centroids)
     with_ivf_assignment(df, cents, vec_col).write.mode("overwrite") \
         .partitionBy("ivf_cid").parquet(path)
+    with open(_centroids_sidecar(path), "w") as fh:
+        json.dump({"mode": centroids, "centroids": cents}, fh)
 
 
 def ann_topk_ivf_partitioned(
@@ -181,11 +277,21 @@ def ann_topk_ivf_partitioned(
 ) -> DataFrame:
     """IVF ANN over an ivf_cid-partitioned table (write_ivf_partitioned):
     identical results to ivf_topk, but the inverted-list filter becomes
-    a partition-pruning predicate instead of a row filter. Centroids are
-    re-derived from the table itself (first ``n_centroids`` ids), same
-    as the build — an O(n_centroids) collect."""
+    a partition-pruning predicate instead of a row filter. Centroids
+    come from the build's JSON sidecar (so trained and positional
+    builds probe identically); a sidecar-less legacy table falls back
+    to re-deriving the positional centroids (O(n_centroids) collect)."""
+    import json
+    import os
+
+    sidecar = _centroids_sidecar(path)
     tbl = spark.read.parquet(path)
-    cents = _ivf_centroids(tbl, n_centroids, vec_col, id_col)
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            cents = [(int(c), list(map(float, v)))
+                     for c, v in json.load(fh)["centroids"]]
+    else:
+        cents = _ivf_centroids(tbl, n_centroids, vec_col, id_col)
     probe = _ivf_probe(cents, query_vec, nprobe)
     cand = tbl.filter(F.col("ivf_cid").isin(probe))
     return topk_cosine(cand, query_vec, k, vec_col, id_col)

@@ -263,6 +263,74 @@ def sf1_bench(spark, qs, sf_dir: str, base_times: dict) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def ivf_skew_bench(spark, n: int = 200_000, dim: int = 16) -> dict:
+    """Round-4 VERDICT #2 evidence row: on a skewed table whose head
+    rows cover each source once while one hot source dominates volume,
+    positional first-n centroids leave one giant inverted list (a hot
+    query's probe degenerates toward a scan); trained sampled-k-means
+    centroids split the hot mass. Reported: rows the probe has to scan
+    (deterministic) + probe wall time for each layout."""
+    from azuresearchcrawlervector_spark.operators.similarity import (
+        _centroids_sidecar, _ivf_probe, ann_topk_ivf_partitioned,
+        write_ivf_partitioned,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_ivfskew_")
+    try:
+        import numpy as np
+        rng = np.random.default_rng(7)
+        dirs = rng.standard_normal((9, dim))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        dlit = [[float(x) for x in d] for d in dirs]
+        # deterministic generation, Spark-side: head row i -> dir i%9,
+        # body rows 70% dir0 / 30% spread, + per-(id, i) sin noise
+        darr = ("array(" + ",".join(
+            "array(" + ",".join(repr(x) for x in d) + ")" for d in dlit)
+            + ")")
+        df = (
+            spark.range(n).withColumnRenamed("id", "vec_id")
+            .withColumn(
+                "src",
+                F.expr("CASE WHEN vec_id < 16 THEN vec_id % 9 "
+                       "WHEN vec_id % 10 < 7 THEN 0 "
+                       "ELSE 1 + vec_id % 8 END"))
+            .withColumn(
+                "embedding",
+                F.expr(f"transform({darr}[src], (x, i) -> CAST(x +"
+                       " 0.1 * sin(vec_id * 2.718 + i * 1.618) AS FLOAT))"))
+            .drop("src")
+        )
+        qvec = [float(x) for x in dirs[0]]  # hot-direction query
+        out = {}
+        for mode in ("positional", "trained"):
+            path = f"{work}/emb_{mode}"
+            t0 = time.monotonic()
+            write_ivf_partitioned(df, path, n_centroids=16, centroids=mode)
+            build_s = time.monotonic() - t0
+            import json as _json
+            with open(_centroids_sidecar(path)) as fh:
+                cents = [(int(c), v) for c, v in _json.load(fh)["centroids"]]
+            probe = _ivf_probe(cents, qvec, 4)
+            tbl = spark.read.parquet(path)
+            scanned = tbl.filter(F.col("ivf_cid").isin(probe)).count()
+            biggest = (tbl.groupBy("ivf_cid").count()
+                       .agg(F.max("count")).collect()[0][0])
+            t0 = time.monotonic()
+            ann_topk_ivf_partitioned(spark, path, qvec, k=10).count()
+            out[mode] = {
+                "build_sec": round(build_s, 2),
+                "probe_rows_scanned": scanned,
+                "max_list_frac": round(biggest / n, 3),
+                "probe_sec": round(time.monotonic() - t0, 3),
+            }
+        out["scan_reduction_x"] = round(
+            out["positional"]["probe_rows_scanned"]
+            / max(out["trained"]["probe_rows_scanned"], 1), 2)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from azuresearchcrawlervector_spark.session import get_spark
@@ -294,6 +362,10 @@ def main():
         sec, _n = time_query(qs[name], spark, sf_dir)
         qtimes[name] = round(sec, 3)
 
+    ivf_skew = {}
+    if os.environ.get("BENCH_SKIP_IVF_SKEW") != "1":
+        ivf_skew = ivf_skew_bench(spark)
+
     sf1 = {}
     if os.environ.get("BENCH_SKIP_SF1") != "1":
         sf1 = sf1_bench(spark, qs, sf_dir, qtimes)
@@ -317,6 +389,7 @@ def main():
         "crawl": crawl,
         "crawl_politeness_bound": crawl_bound,
         "sf1": sf1,
+        "ivf_skew": ivf_skew,
         "cpus": cpus,
     }
     line = json.dumps(out)
