@@ -11,11 +11,28 @@ IDCT and color conversion.
 This replaces the round-1/2 ``qpng`` stand-in for the ``jpeg`` fmt
 everywhere — fixtures, flagship AND the 120k-row bench — so the
 PSNR ≥ 40 dB fetch invariant (BASELINE.json input_hint) always runs
-against real lossy-DCT artifacts. The scan is decoded through a
-numpy-prepped bitstream + 2^16 code-length LUT (several hundred
-images/s/core; see _decode_scan_lut); a production deployment still
-swaps this module for libjpeg-turbo with no Spark-side changes
-(functions/imagefn.py is codec-agnostic).
+against real lossy-DCT artifacts. Two decode paths:
+
+- scalar: numpy-prepped bitstream + 2^16 code-length LUT, one python
+  list read per symbol (~1 us/symbol; see _decode_scan_lut).
+- batched (jpeg_decode_batch): lane-parallel across an Arrow batch's
+  images — one vectorized step advances every image by one symbol.
+  Measured (BENCH/BASELINE.md "jpeg decode", best-of repeats on a
+  shared box): ~2.3-2.8x scalar at 16x16, 1-2x at 64x48 — the spread
+  is cache weather; numpy's ~25 ns/element over ~30 ops/step meets
+  CPython's ~1 us/symbol nearly head-on at the larger size. >100-MCU
+  images route back to the scalar path, so batch decode is never
+  meaningfully slower. The honest ceiling of a pure-
+  python/numpy Huffman decoder is ~1 us/symbol/core either way — the
+  production answer for a JPEG-heavy corpus remains swapping this
+  module for libjpeg-turbo, with no Spark-side changes
+  (functions/imagefn.py is codec-agnostic, and the batch API is
+  exactly the shape a C codec wants). What the engine ARCHITECTURE
+  guarantees — pinned by the N vs 4N scaling bench, which runs with
+  full decode+PSNR validation on — is that decode is embarrassingly
+  parallel row work that overlaps the rest of the wave and scales
+  with cores (round-4: 0.921 efficiency at 2M URLs WITH decode
+  dominating row cost).
 
 Bit-exactness contract (tests/test_images.py): decode(encode(px)) ==
 reconstruct(px), where reconstruct() replicates the encoder's model
@@ -389,23 +406,38 @@ def _extend(v: int, s: int) -> int:
 # length). ~10-30x over the per-bit _BitReader path, which is kept as
 # the reference implementation and pinned equal by tests/test_images.py.
 _LUT_CACHE: dict[tuple, list[int]] = {}
+_LUT_ARR_CACHE: dict[tuple, np.ndarray] = {}
 _LUT_CACHE_MAX = 16
 
 
-def _lut16(bits: list[int], vals: list[int]) -> list[int]:
-    """Window value -> (symbol << 5) | code_length, packed so the decode
-    loop pays ONE list read per symbol; 0 = invalid prefix."""
+def _lut16_arr(bits: list[int], vals: list[int]) -> np.ndarray:
+    """Window value -> (symbol << 5) | code_length as an int32 array;
+    0 = invalid prefix. Shared by the scalar (list view) and batched
+    (vectorized gather) decoders."""
     key = (tuple(bits), tuple(vals))
-    got = _LUT_CACHE.get(key)
+    got = _LUT_ARR_CACHE.get(key)
     if got is None:
         packed = np.zeros(1 << 16, dtype=np.int32)
         for s, (code, length) in _canonical_codes(bits, vals).items():
             start = code << (16 - length)
             span = 1 << (16 - length)
             packed[start:start + span] = (s << 5) | length
+        while len(_LUT_ARR_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_ARR_CACHE.pop(next(iter(_LUT_ARR_CACHE)))
+        got = packed
+        _LUT_ARR_CACHE[key] = got
+    return got
+
+
+def _lut16(bits: list[int], vals: list[int]) -> list[int]:
+    """python-list view of _lut16_arr — O(1) fast reads for the scalar
+    per-symbol loop."""
+    key = (tuple(bits), tuple(vals))
+    got = _LUT_CACHE.get(key)
+    if got is None:
         while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
             _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
-        got = packed.tolist()  # python list: O(1) fast reads
+        got = _lut16_arr(bits, vals).tolist()
         _LUT_CACHE[key] = got
     return got
 
@@ -498,14 +530,10 @@ def _decode_scan_lut(data: bytes, pos: int, tables: list[tuple],
     return coeffs
 
 
-def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
-    """Baseline JFIF bytes → HxWx3 uint8 RGB. Supports what jpeg_encode
-    emits plus any baseline 1x1-sampled 3-component stream with its own
-    DQT/DHT tables; APPn/COM segments are skipped.
-
-    ``engine``: "lut" (default) decodes the scan via the vectorized
-    window/LUT path; "bitwise" uses the per-bit reference reader —
-    kept for the byte-parity pin in tests/test_images.py."""
+def _parse_headers(data: bytes):
+    """Marker-segment parse up to (and including) SOS → (qt, huff, h, w,
+    comp_spec, scan_tabs, scan_pos). Shared by the scalar and batched
+    decoders."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -564,7 +592,18 @@ def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
         pos += seglen
     if h is None or not scan_tabs:
         raise ValueError("missing SOF0/SOS")
+    return qt, huff, h, w, comp_spec, scan_tabs, pos
 
+
+def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
+    """Baseline JFIF bytes → HxWx3 uint8 RGB. Supports what jpeg_encode
+    emits plus any baseline 1x1-sampled 3-component stream with its own
+    DQT/DHT tables; APPn/COM segments are skipped.
+
+    ``engine``: "lut" (default) decodes the scan via the vectorized
+    window/LUT path; "bitwise" uses the per-bit reference reader —
+    kept for the byte-parity pin in tests/test_images.py."""
+    qt, huff, h, w, comp_spec, scan_tabs, pos = _parse_headers(data)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_mcus = (ph // 8) * (pw // 8)
     if engine == "lut":
@@ -606,3 +645,314 @@ def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
         px = _CT @ blocks @ _C  # batched (n,8,8) matmul beats einsum ~3x
         planes.append(_from_blocks(px, ph, pw) + 128.0)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]
+
+
+
+# ------------------- batched (lane-parallel) decode (round-5 item #3)
+# The symbol SEQUENCE of one scan is inherently serial — but a decode
+# batch holds many INDEPENDENT scans. The batched decoder keeps one
+# lane per image and advances EVERY lane by one Huffman symbol per
+# python iteration through vectorized gathers over a concatenated
+# 32-bit-window array, so the interpreted per-symbol cost is amortized
+# across the whole Arrow batch (~N lanes per step instead of 1).
+#
+# Design notes that keep the step cheap (~25 vector ops, 2 gathers,
+# 1 scatter):
+# - 32-bit windows: ONE gather yields the Huffman code (top 16 bits
+#   feed the LUT) AND the value bits (code ≤ 16 + category ≤ 15 bits
+#   ≤ 31 fits the window), so there is no second positional read.
+# - unified DC/AC path: one flattened LUT-bank gather selected by a
+#   per-lane current-slot scalar; DC vs AC semantics differ only in a
+#   few np.where masks.
+# - fully compact state: lanes that finish or fail are compacted out,
+#   so late iterations cost O(still-active), and per-lane state is
+#   flat scalars (the DC predictor for the CURRENT component only;
+#   the per-component store is touched only at block transitions,
+#   ~1/15 of symbols).
+# - failure redirection: invalid codes / run-overruns / truncated
+#   scans never branch the hot path — the write index is redirected
+#   to a trash slot and the lane's position is pushed past its window
+#   region, so the normal end-of-region sweep retires it.
+# Iteration count = max symbols over the batch; output is BIT-
+# IDENTICAL to jpeg_decode per image (pinned by tests/test_images.py).
+_BATCH_MAX_WINDOWS = 1 << 24  # bitstream entries/sub-batch (~128 MB)
+_BATCH_MAX_COEFF = 1 << 24    # coefficient slots/sub-batch (int32, ~64 MB
+                              # — the cache-friendly sweet spot: ~900
+                              # 64x48 lanes/sub-batch; bigger thrashes)
+# Measured crossover (see BENCH/BASELINE.md "jpeg decode"): the lane
+# decoder amortizes interpreter overhead across images, which wins on
+# SMALL images (~2.3x at 16x16, ~1.5x at 32x24, parity at 64x48) but
+# loses past ~100 MCUs where per-image vector ops already dominate —
+# route those to the scalar LUT path so batch decode is never slower.
+_BATCH_SCALAR_MCUS = 100
+
+
+def _scan_u40(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Entropy-coded scan bytes from ``pos`` → (U, n_bits) where
+    U[j] = the 40 bits starting at BYTE j (as int64, so the 32-bit
+    window at bit position p is ``(U[p >> 3] >> (8 - (p & 7))) &
+    0xFFFFFFFF``) and n_bits = real scan bits (reads at ≥ n_bits mean
+    truncation). One int64 per scan BYTE — 8x less memory than a
+    per-bit window array, which is what lets thousands of lanes share
+    one concatenated array."""
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    marker = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
+    seg = arr[:int(marker[0])] if len(marker) else arr
+    stuffed = np.flatnonzero((seg[:-1] == 0xFF) & (seg[1:] == 0x00)) + 1
+    if len(stuffed):
+        seg = np.delete(seg, stuffed)
+    B = np.zeros(len(seg) + 8, dtype=np.uint64)
+    B[:len(seg)] = seg
+    U = ((B[:-4] << np.uint64(32)) | (B[1:-3] << np.uint64(24))
+         | (B[2:-2] << np.uint64(16)) | (B[3:-1] << np.uint64(8)) | B[4:])
+    return U.astype(np.int64), len(seg) * 8
+
+
+_DECODE_LUT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _lut16_decode_arr(bits: list[int], vals: list[int],
+                      is_ac: bool) -> np.ndarray:
+    """Decode-ready LUT for the lane decoder: every per-symbol decision
+    the hot loop would otherwise branch on is folded into the entry at
+    BUILD time — tot(0:5) = code+value bits advance, s(5:9) = value
+    category, kadv(9:17) = zigzag-index advance (run+1 / 16 for ZRL /
+    127 for EOB / 1 for DC), wof(17:24) = write offset within the
+    128-slot padded block (run for a real coefficient, 64 = the pad
+    region for EOB/ZRL so the unconditional scatter lands in scratch).
+    Entry 0 = invalid prefix."""
+    key = (is_ac, tuple(bits), tuple(vals))
+    got = _DECODE_LUT_CACHE.get(key)
+    if got is not None:
+        return got
+    e = _lut16_arr(bits, vals).astype(np.int64)
+    valid = e != 0
+    L = e & 31
+    sym = e >> 5
+    if is_ac:
+        s = sym & 15
+        run = sym >> 4
+        zrl = valid & (s == 0) & (run == 15)
+        eob = valid & (s == 0) & (run != 15)   # scalar treats s==0,r!=15 as EOB
+        kadv = np.where(eob, 127, np.where(zrl, 16, run + 1))
+        wof = np.where(eob | zrl, 64, run)
+    else:
+        s = np.minimum(sym, 15)
+        kadv = np.ones_like(e)
+        wof = np.zeros_like(e)
+    packed = np.where(
+        valid, (L + s) | (s << 5) | (kadv << 9) | (wof << 17), 0)
+    while len(_DECODE_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _DECODE_LUT_CACHE.pop(next(iter(_DECODE_LUT_CACHE)))
+    _DECODE_LUT_CACHE[key] = packed
+    return packed
+
+
+def _decode_lanes(Ucat, uoffs, n_bits, banks_flat, dc_slots, ac_slots,
+                  n_mcus_a, img_bases, coeff_flat) -> np.ndarray:
+    """Advance all lanes to completion over the shared 40-bit-per-byte
+    array. Returns per-lane failed flags (invalid code / truncated
+    scan / AC run past block end)."""
+    n = len(uoffs)
+    ok = np.zeros(n, dtype=bool)  # completed all MCUs cleanly
+    # compact per-lane state; p is the lane's bit position RELATIVE to
+    # its own scan start, uoff its absolute byte offset into Ucat
+    lane = np.arange(n)
+    p = np.zeros(n, dtype=np.int64)
+    uoff = uoffs.astype(np.int64).copy()
+    wend = n_bits.astype(np.int64).copy()
+    nm = n_mcus_a.astype(np.int64).copy()
+    ibase = img_bases.astype(np.int64).copy()
+    dcs = dc_slots.astype(np.int64).copy()     # (m, 3)
+    acs = ac_slots.astype(np.int64).copy()
+    comp = np.zeros(n, dtype=np.int64)
+    mcu = np.zeros(n, dtype=np.int64)
+    k = np.zeros(n, dtype=np.int64)
+    isac = np.zeros(n, dtype=bool)
+    cur_dc = np.zeros(n, dtype=np.int64)
+    dcstore = np.zeros((n, 3), dtype=np.int64)
+    cur_dcslot = dcs[:, 0].copy()
+    cur_acslot = acs[:, 0].copy()
+    base = ibase.copy()  # flat offset of current block
+    # lanes with zero MCUs are vacuously complete
+    keep = nm > 0
+    ok[lane[~keep]] = True
+    (lane, p, uoff, wend, nm, ibase, dcs, acs, comp, mcu, k, isac,
+     cur_dc, dcstore, cur_dcslot, cur_acslot, base) = (
+        a[keep] for a in (lane, p, uoff, wend, nm, ibase, dcs, acs,
+                          comp, mcu, k, isac, cur_dc, dcstore,
+                          cur_dcslot, cur_acslot, base))
+
+    while len(lane):
+        w = (Ucat[uoff + (p >> 3)] >> (8 - (p & 7))) & 0xFFFFFFFF
+        e = banks_flat[np.where(isac, cur_acslot, cur_dcslot)
+                       * 65536 + (w >> 16)]
+        tot = e & 31
+        s = (e >> 5) & 15
+        vmask = (np.int64(1) << s) - 1
+        v = (w >> (32 - tot)) & vmask
+        half = (vmask + 1) >> 1                 # 1<<(s-1); 0 when s==0
+        val = np.where(v >= half, v, v - vmask)
+        wof = (e >> 17) & 127
+        dead = (e == 0) | ((k + wof > 63) & (wof < 64))  # bad code/overrun
+        cur_dc = cur_dc + np.where(isac, 0, val)
+        coeff_flat[base + k + wof] = np.where(isac, val, cur_dc)  # int32 cast
+        k = k + ((e >> 9) & 255)
+        p = np.where(dead, wend, p + tot)       # dead lanes retire below
+        blk_end = (k >= 64) & ~dead
+        isac = ~blk_end
+        retire = p >= wend
+        if blk_end.any() or retire.any():
+            t = np.flatnonzero(blk_end)
+            dcstore[t, comp[t]] = cur_dc[t]
+            comp[t] += 1
+            roll = t[comp[t] == 3]
+            comp[roll] = 0
+            mcu[roll] += 1
+            finished = mcu[t] >= nm[t]
+            ok[lane[t[finished]]] = True
+            ct = comp[t]
+            cur_dc[t] = dcstore[t, ct]
+            cur_dcslot[t] = dcs[t, ct]
+            cur_acslot[t] = acs[t, ct]
+            base[t] = ibase[t] + (ct * nm[t] + mcu[t]) * 128
+            k[t] = 0
+            keep = ~retire
+            keep[t[finished]] = False
+            if not keep.all():
+                (lane, p, uoff, wend, nm, ibase, dcs, acs, comp, mcu, k,
+                 isac, cur_dc, dcstore, cur_dcslot, cur_acslot, base) = (
+                    a[keep] for a in (lane, p, uoff, wend, nm, ibase,
+                                      dcs, acs, comp, mcu, k, isac,
+                                      cur_dc, dcstore, cur_dcslot,
+                                      cur_acslot, base))
+    return ~ok
+
+
+def jpeg_decode_batch(datas: list[bytes],
+                      max_windows: int = _BATCH_MAX_WINDOWS) -> list:
+    """Decode a batch of baseline JFIF images lane-parallel. Returns one
+    HxWx3 uint8 array per input, or None where that image failed to
+    decode (bad headers / invalid code / truncated scan) — per-image
+    isolation, a corrupt image never affects its batch. Memory is
+    bounded by ``max_windows`` concatenated bitstream entries (one per
+    scan byte, 8 bytes each) and ``_BATCH_MAX_COEFF`` coefficient slots
+    per sub-batch; oversize single images fall back to the scalar
+    decoder."""
+    out: list = [None] * len(datas)
+    metas = []  # (i, qt, huff, comp_spec, scan_tabs, h, w, U, n_bits, nm)
+    for i, data in enumerate(datas):
+        try:
+            data = bytes(data)
+            qt, huff, h, w, comp_spec, scan_tabs, pos = _parse_headers(data)
+            U, n_bits = _scan_u40(data, pos)
+            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            nm = (ph // 8) * (pw // 8)
+            if (nm > _BATCH_SCALAR_MCUS or len(U) > max_windows
+                    or 3 * nm * 128 > _BATCH_MAX_COEFF):
+                out[i] = jpeg_decode(data)  # big image: scalar is faster
+                continue
+            metas.append((i, qt, huff, comp_spec, scan_tabs, h, w, U,
+                          n_bits, nm))
+        except Exception:
+            out[i] = None
+
+    # sub-batch by bitstream + coefficient budget
+    start = 0
+    while start < len(metas):
+        end, tot, totc = start, 0, 0
+        while end < len(metas) and (
+                end == start
+                or (tot + len(metas[end][7]) <= max_windows
+                    and totc + 3 * metas[end][9] * 128 <= _BATCH_MAX_COEFF)):
+            tot += len(metas[end][7])
+            totc += 3 * metas[end][9] * 128
+            end += 1
+        _decode_subbatch(metas[start:end], out)
+        start = end
+    return out
+
+
+def _decode_subbatch(metas, out) -> None:
+    n = len(metas)
+    if n == 0:
+        return
+    # LUT bank: distinct tables in the sub-batch, flattened for 1-D gather
+    bank_ix: dict[tuple, int] = {}
+    bank_list = []
+    dc_slots = np.zeros((n, 3), dtype=np.int64)
+    ac_slots = np.zeros((n, 3), dtype=np.int64)
+    uoffs = np.zeros(n, dtype=np.int64)
+    n_bits_a = np.zeros(n, dtype=np.int64)
+    n_mcus_a = np.zeros(n, dtype=np.int64)
+    img_bases = np.zeros(n, dtype=np.int64)
+    Us, u_off, c_off = [], 0, 0
+    ok_lane = np.ones(n, dtype=bool)
+    for li, (_i, _qt, huff, _cs, scan_tabs, _h, _w, U, n_bits,
+             nm) in enumerate(metas):
+        try:
+            for c in range(3):
+                for tc, slots in ((0, dc_slots), (1, ac_slots)):
+                    bv = huff[(tc, scan_tabs[c][tc])]
+                    key = (tc,) + tuple(bv[0]) + tuple(bv[1])
+                    if key not in bank_ix:
+                        bank_ix[key] = len(bank_list)
+                        bank_list.append(
+                            _lut16_decode_arr(*bv, is_ac=tc == 1))
+                    slots[li, c] = bank_ix[key]
+        except KeyError:
+            ok_lane[li] = False
+        uoffs[li] = u_off
+        n_bits_a[li] = n_bits
+        n_mcus_a[li] = nm if ok_lane[li] else 0
+        img_bases[li] = c_off
+        Us.append(U)
+        u_off += len(U)
+        c_off += 3 * nm * 128   # 128-slot padded blocks (see decode LUT)
+    Ucat = np.concatenate(Us) if Us else np.zeros(0, dtype=np.int64)
+    coeff_flat = np.zeros(c_off, dtype=np.int32)
+    banks_flat = (np.concatenate(bank_list)
+                  if bank_list else np.zeros(1 << 16, dtype=np.int64))
+    failed = _decode_lanes(Ucat, uoffs, n_bits_a, banks_flat, dc_slots,
+                           ac_slots, n_mcus_a, img_bases, coeff_flat)
+    failed |= ~ok_lane
+
+    # dequant + IDCT for ALL surviving blocks in one batched matmul,
+    # then SAME-SHAPE images assemble through one vectorized
+    # reshape/transpose + color-convert pass per (h, w) group (the
+    # common case — a crawl's thumbnails are uniform — collapses ~40
+    # small per-image numpy calls into ~15 group-wide ones)
+    good = np.flatnonzero(~failed)
+    if not len(good):
+        return
+    blocks_parts, quant_parts = [], []
+    for li in good:
+        _i, qt, _huff, comp_spec, _st, _h, _w, _W, _nb, nm = metas[li]
+        cf = coeff_flat[img_bases[li]:img_bases[li] + 3 * nm * 128]
+        blocks_parts.append(cf.reshape(-1, 128)[:, :64])
+        for c in range(3):
+            quant_parts.append(
+                np.broadcast_to(
+                    qt[comp_spec[c][1]].reshape(64).astype(np.float64),
+                    (nm, 64)))
+    B = np.concatenate(blocks_parts)[:, UNZIGZAG].reshape(-1, 8, 8)
+    Q = np.concatenate(quant_parts).reshape(-1, 8, 8)  # already row-major
+    PX = _CT @ (B * Q) @ _C
+    # group by padded shape for vectorized assembly
+    groups: dict[tuple, list] = {}
+    b0 = 0
+    for li in good:
+        i, _qt, _huff, _cs, _st, h, w, _W, _nb, nm = metas[li]
+        groups.setdefault((h, w), []).append((i, b0))
+        b0 += 3 * nm
+    for (h, w), members in groups.items():
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        nm = (ph // 8) * (pw // 8)
+        sel = np.concatenate(
+            [np.arange(b0, b0 + 3 * nm) for _i, b0 in members])
+        g = PX[sel].reshape(len(members), 3, ph // 8, pw // 8, 8, 8)
+        ycc = g.transpose(0, 2, 4, 3, 5, 1).reshape(
+            len(members), ph, pw, 3) + 128.0
+        rgb = _ycbcr_to_rgb(ycc)  # vectorized over the whole group
+        for m, (i, _b0) in enumerate(members):
+            out[i] = rgb[m, :h, :w]

@@ -263,6 +263,56 @@ def sf1_bench(spark, qs, sf_dir: str, base_times: dict) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def jpeg_decode_bench(n: int = 1500) -> dict:
+    """Single-core decode throughput row (round-4 VERDICT #3 pin):
+    scalar LUT path vs the lane-parallel batch decoder at the bench's
+    64x48 and a small-thumbnail 32x24, best-of-2 on CPU time. The
+    crawl-level evidence that decode OVERLAPS the wave's other row
+    work is the N vs 4N scaling bench (runs with validate_images=True)
+    plus the bound row's decode_overhead_sec decomposition."""
+    import time as _t
+
+    import numpy as np
+
+    from azuresearchcrawlervector_spark.core.images import generate_pixels
+    from azuresearchcrawlervector_spark.core.jpeg import (
+        jpeg_decode, jpeg_decode_batch,
+    )
+
+    out = {}
+    for w, h in ((64, 48), (32, 24)):
+        datas = [jpeg_decode_bench_enc(generate_pixels(f"jd-{i}", w, h))
+                 for i in range(n)]
+        jpeg_decode(datas[0])
+        jpeg_decode_batch(datas[:64])
+        sc = min(
+            _measure(lambda: [jpeg_decode(d) for d in datas[:200]])
+            for _ in range(2)) / 200
+        bt = min(_measure(lambda: jpeg_decode_batch(datas))
+                 for _ in range(2)) / n
+        r = np.array_equal(jpeg_decode_batch([datas[0]])[0],
+                           jpeg_decode(datas[0]))
+        out[f"{w}x{h}"] = {
+            "scalar_img_per_s_core": round(1 / sc, 1),
+            "batch_img_per_s_core": round(1 / bt, 1),
+            "speedup_x": round(sc / bt, 2),
+            "bit_identical": bool(r),
+        }
+    return out
+
+
+def jpeg_decode_bench_enc(px):
+    from azuresearchcrawlervector_spark.core.jpeg import jpeg_encode
+    return jpeg_encode(px, 97)
+
+
+def _measure(fn) -> float:
+    import time as _t
+    t0 = _t.process_time()
+    fn()
+    return _t.process_time() - t0
+
+
 def ivf_skew_bench(spark, n: int = 200_000, dim: int = 16) -> dict:
     """Round-4 VERDICT #2 evidence row: on a skewed table whose head
     rows cover each source once while one hot source dominates volume,
@@ -362,6 +412,10 @@ def main():
         sec, _n = time_query(qs[name], spark, sf_dir)
         qtimes[name] = round(sec, 3)
 
+    jpeg_row = {}
+    if os.environ.get("BENCH_SKIP_JPEG") != "1":
+        jpeg_row = jpeg_decode_bench()
+
     ivf_skew = {}
     if os.environ.get("BENCH_SKIP_IVF_SKEW") != "1":
         ivf_skew = ivf_skew_bench(spark)
@@ -390,6 +444,7 @@ def main():
         "crawl_politeness_bound": crawl_bound,
         "sf1": sf1,
         "ivf_skew": ivf_skew,
+        "jpeg_decode": jpeg_row,
         "cpus": cpus,
     }
     line = json.dumps(out)

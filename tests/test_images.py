@@ -161,3 +161,65 @@ def test_jpeg_lut_decoder_parity_with_bitwise():
             buf = jpeg_encode(px, q)
             assert np.array_equal(jpeg_decode(buf, engine="lut"),
                                   jpeg_decode(buf, engine="bitwise"))
+
+
+def test_jpeg_batch_decoder_bit_identical_and_isolating():
+    """Round-5 #3: the lane-parallel batch decoder is pinned
+    bit-identical to jpeg_decode per image across mixed sizes (incl.
+    >100-MCU images routed to the scalar path), qualities, and random
+    content; corrupt entries fail in ISOLATION (None) without
+    disturbing their batchmates."""
+    import numpy as np
+
+    from azuresearchcrawlervector_spark.core.images import generate_pixels
+    from azuresearchcrawlervector_spark.core.jpeg import (
+        jpeg_decode, jpeg_decode_batch, jpeg_encode,
+    )
+
+    rng = np.random.default_rng(77)
+    cases = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+             for h, w in [(8, 8), (17, 23), (32, 24), (64, 48), (128, 96)]]
+    cases += [generate_pixels(f"b-{i}", 64, 48) for i in range(5)]
+    datas, refs = [], []
+    for i, px in enumerate(cases):
+        buf = jpeg_encode(px, (35, 90, 97)[i % 3])
+        datas.append(buf)
+        refs.append(jpeg_decode(buf))
+    # corrupt entries interleaved: truncated scan, garbage markers
+    datas.insert(3, datas[0][:40])
+    datas.insert(7, b"\xff\xd8garbage")
+    refs.insert(3, None)
+    refs.insert(7, None)
+    out = jpeg_decode_batch(datas)
+    for o, r in zip(out, refs):
+        if r is None:
+            assert o is None
+        else:
+            assert o is not None and np.array_equal(o, r)
+
+
+def test_jpeg_batch_udf_path_matches_scalar(spark):
+    """with_image_validation rides the batch decoder for jpeg rows —
+    same ok/psnr/phash as the scalar decode for real artifacts, ok=False
+    for corrupt ones."""
+    import numpy as np
+
+    from azuresearchcrawlervector_spark.core.images import generate_pixels
+    from azuresearchcrawlervector_spark.core.jpeg import jpeg_encode
+    from azuresearchcrawlervector_spark.functions.imagefn import (
+        with_image_validation,
+    )
+
+    rows = []
+    for i in range(6):
+        iid = f"jb-{i}"
+        rows.append((iid, bytearray(jpeg_encode(
+            generate_pixels(iid, 64, 48), 97)), "jpeg"))
+    rows.append(("jb-bad", bytearray(b"\xff\xd8nope"), "jpeg"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in with_image_validation(df).collect()}
+    for i in range(6):
+        assert got[f"jb-{i}"]["img_ok"] is True
+        assert got[f"jb-{i}"]["psnr_db"] >= 40.0
+    assert got["jb-bad"]["img_ok"] is False
