@@ -155,18 +155,26 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
                   allow_fake: bool = False) -> DataFrame:
     """Frame sampling over a video BINARY column (media_id, bytes, fmt).
 
-    REAL codec for MJPEG-in-AVI (core/video.py — RIFF container + one
-    baseline JPEG per frame): frames 0, every_n, 2·every_n, … up to
-    n_frames are entropy-decoded (intra-only MJPEG = O(sampled frames),
-    never a full-stream decode) and emitted as lossless PNG bytes.
+    REAL codec for MJPEG — in AVI (core/video.py, RIFF container) or
+    in MP4 (core/mp4.py, ISO BMFF 'jpeg' sample entry): frames 0,
+    every_n, 2·every_n, … up to n_frames are entropy-decoded
+    (intra-only = O(sampled frames), never a full-stream decode) and
+    emitted as lossless PNG bytes.
 
-    Other containers (mp4/webm/…): no codec in this container image —
-    with allow_fake the 'frames' are deterministic byte slices of the
-    payload (so batch shape, explode-like fan-out and partitioning are
-    all real); raises NotImplementedError otherwise.
+    REAL container, other codec (avc1/vp9/… in MP4): the ISO sample
+    table still resolves every keyframe's BYTE RANGE without a codec —
+    sampling emits the raw keyframe samples (what a downstream GPU
+    decode stage wants). Decoding those to pixels is the only part
+    that still needs an external codec.
+
+    Non-ISO containers (webm/mkv): with allow_fake the 'frames' are
+    deterministic byte slices of the payload (so batch shape,
+    explode-like fan-out and partitioning are all real); raises
+    NotImplementedError otherwise.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..core.images import png_encode
+        from ..core.mp4 import is_mp4, mp4_parse, mp4_sample_bytes
         from ..core.video import is_avi, mjpeg_avi_decode
 
         for pdf in batches:
@@ -186,11 +194,41 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
                         idxs.append(fi)
                         frames.append(png_encode(px))
                     continue
+                if is_mp4(data):
+                    vids = [t for t in mp4_parse(data)
+                            if t["handler"] == "vide" and t["n_samples"]]
+                    if not vids:
+                        raise ValueError("mp4 has no video track")
+                    t = vids[0]
+                    if t["codec"] == "jpeg":
+                        # MJPEG-in-MP4: real pixels (core/jpeg.py)
+                        from ..core.jpeg import jpeg_decode
+                        want = [fi * every_n for fi in range(n_frames)
+                                if fi * every_n < t["n_samples"]]
+                        for fi in want:
+                            ids.append(mid)
+                            idxs.append(fi)
+                            frames.append(png_encode(
+                                jpeg_decode(mp4_sample_bytes(data, t, fi))))
+                    else:
+                        # container-level sampling: every_n-th KEYFRAME's
+                        # raw sample bytes via the stsc/stco/stsz tables
+                        keys = sorted(t["sync"])
+                        want = [keys[fi * every_n]
+                                for fi in range(n_frames)
+                                if fi * every_n < len(keys)]
+                        for fi in want:
+                            ids.append(mid)
+                            idxs.append(fi)
+                            frames.append(mp4_sample_bytes(data, t, fi))
+                    continue
                 if not allow_fake:
                     raise NotImplementedError(
-                        "non-AVI video decode requires an external codec; "
-                        "use MJPEG/AVI (real, core/video.py) or pass "
-                        "allow_fake=True for the test stand-in")
+                        "non-ISO video containers (webm/mkv) need an "
+                        "external demuxer; use MJPEG/AVI (core/video.py) "
+                        "or MP4 (core/mp4.py — real pixels for 'jpeg' "
+                        "tracks, keyframe byte ranges for any codec), or "
+                        "pass allow_fake=True for the test stand-in")
                 for fi in range(n_frames):
                     off = (fi * every_n) % max(len(data), 1)
                     ids.append(mid)
