@@ -516,3 +516,50 @@ def test_adpcm_real_compressed_roundtrip():
         adpcm_decode(wav_encode(pcm, 16_000))               # PCM tag != 0x11
     with _pytest.raises(ValueError):
         adpcm_decode(buf[: len(buf) // 2])                  # truncated
+
+
+def test_widen_judges_single_big_file_by_bytes(spark, tmp_path):
+    # round-4 advice: a BIG single-file table is split by the scan at
+    # maxPartitionBytes, so _widen must not round-robin-shuffle it just
+    # because the file COUNT is low
+    from azuresearchcrawlervector_spark.operators.dedup import _widen
+
+    path = str(tmp_path / "one_big")
+    spark.range(200_000).selectExpr(
+        "id", "repeat('x', 300) AS pad").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) == 1
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        out = _widen(df)
+        # judged wide: no Exchange inserted above the scan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # an in-memory input narrower than the core count still widens
+    small = spark.range(64).coalesce(1)
+    widened = _widen(small)
+    assert "Exchange" in widened._jdf.queryExecution().executedPlan().toString()
+    # ...and one already at core width does not
+    wide = spark.range(1024).repartition(
+        spark.sparkContext.defaultParallelism)
+    assert _widen(wide) is wide
+
+
+def test_duplicate_clusters_star_one_row_per_doc_at_max_iters(spark):
+    # round-4 advice: exiting at max_iters short of the star fixpoint
+    # must still honor the one-row-per-doc_id contract
+    from azuresearchcrawlervector_spark.operators.dedup import (
+        duplicate_clusters_star,
+    )
+    # a path graph needs ~log2(n) rounds; max_iters=1 stops well short
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(20)],
+        "id_a long, id_b long, jaccard double")
+    out = duplicate_clusters_star(pairs, max_iters=1).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) == 21

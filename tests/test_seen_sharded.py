@@ -212,3 +212,16 @@ def test_merge_delta_sharded_files_empty_delta(spark, tmp_path):
     assert merge_delta_sharded_files(
         empty, "url_hash", 8, 1 << 13, {}, out, 0) == {}
     assert not [f for f in os.listdir(out) if f.endswith(".bin")]
+
+
+def test_merge_delta_sharded_files_rejects_non_power_of_two(spark, tmp_path):
+    # round-4 advice: Spark's pmod partitioner and the task-side uint64
+    # modulo agree on negative hashes only for power-of-two shard
+    # counts; anything else must be refused loudly, not lose bits
+    from azuresearchcrawlervector_spark.operators.seen import (
+        merge_delta_sharded_files,
+    )
+    df = spark.createDataFrame([(i,) for i in range(8)], "url_hash long")
+    with pytest.raises(AssertionError):
+        merge_delta_sharded_files(
+            df, "url_hash", 3, 1 << 13, {}, str(tmp_path / "np2"), 0)
