@@ -180,3 +180,44 @@ def read_documents_deduped(spark: SparkSession, output_dir: str) -> DataFrame:
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1).drop("_rn")
     )
+
+
+def index_single_document(
+    spark: SparkSession,
+    output_dir: str,
+    url: str,
+    content: str,
+    title: str = "",
+    embedding_dim: int = 128,
+) -> DataFrame:
+    """Single-document sink — reference parity for S9,
+    ``IndexPageAsync(url, content)`` (AzureSearchIndexer.cs:303-342):
+    uploads one {id, content, title} document where **id is the RAW
+    URL**, unlike the batched path's SHA-512 ids — the reference's
+    documented id inconsistency between its two upload APIs, carried
+    faithfully so a user migrating either call site gets identical
+    document ids. Vectors are computed with the same embed kernel as
+    the batch path (the reference's single-doc body skips vectors;
+    here they ride along for schema compatibility with S8 readers —
+    dedupe-on-read keys on id either way).
+
+    Append-only and idempotent under replay for the same (url,
+    content): readers dedupe on id. Returns the one-row DataFrame that
+    was written.
+    """
+    embed = make_embed_udf(embedding_dim)
+    df = (
+        spark.createDataFrame(
+            [(url, title, content)], "url string, title string, content string")
+        .withColumn("id", F.col("url"))  # RAW url id — the S9 quirk
+        .withColumn("title_vector", embed(F.substring("title", 1, 8000)))
+        .withColumn("content_vector", embed(F.substring("content", 1, 8000)))
+        # batch_id -1: sorts below any streaming micro-batch, so an S8
+        # re-upload of the same id supersedes a single-doc upload — the
+        # reference's MergeOrUpload ordering
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .select("id", "url", "title", "content",
+                "title_vector", "content_vector", "batch_id")
+    )
+    df.write.mode("append").parquet(output_dir)
+    return df

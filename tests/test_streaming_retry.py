@@ -118,3 +118,26 @@ def test_host_quota_stateful_stream(spark, tmp_path):
     assert per_host == {"h0.ex.com": 3, "h1.ex.com": 3}
     seqs = sorted(r["host_seq"] for r in got.filter("host = 'h0.ex.com'").collect())
     assert seqs == [0, 1, 2]
+
+
+def test_index_single_document_raw_url_id(spark, tmp_path):
+    """S9 parity: the single-doc sink uses the RAW URL as the document
+    id (the reference's documented inconsistency vs S8's sha512 ids),
+    appends idempotently, and stays schema-compatible with S8 readers."""
+    import hashlib
+
+    from azuresearchcrawlervector_spark.streaming.stream import (
+        index_single_document, read_documents_deduped,
+    )
+
+    out = str(tmp_path / "docs")
+    url = "http://example.com/a?q=1"
+    index_single_document(spark, out, url, "hello body", title="T")
+    index_single_document(spark, out, url, "hello body", title="T")  # replay
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # append-only store
+    assert all(r["id"] == url for r in rows)  # RAW url, not sha512
+    assert rows[0]["id"] != hashlib.sha512(url.encode()).hexdigest()
+    assert len(rows[0]["title_vector"]) == 128
+    deduped = read_documents_deduped(spark, out).collect()
+    assert len(deduped) == 1 and deduped[0]["id"] == url
