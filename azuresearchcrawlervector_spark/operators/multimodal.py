@@ -53,15 +53,36 @@ def block_mean_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out
 
 
+def _decode_batch(bufs, fmts) -> list[np.ndarray]:
+    """Decode one Arrow batch of images: jpeg rows go through the
+    LANE-PARALLEL batch decoder (core/jpeg.jpeg_decode_batch —
+    bit-identical to the scalar path), everything else through the
+    per-format scalar decoders. A failed jpeg raises, matching the
+    scalar path's behavior."""
+    from ..core.jpeg import jpeg_decode_batch
+
+    bufs = [bytes(b) for b in bufs]
+    jpeg_ix = [i for i, (b, f) in enumerate(zip(bufs, fmts))
+               if f == "jpeg" and b[:4] != b"QPNG"]
+    out: list = [None] * len(bufs)
+    if jpeg_ix:
+        for i, px in zip(jpeg_ix, jpeg_decode_batch([bufs[i] for i in jpeg_ix])):
+            if px is None:
+                raise ValueError("jpeg decode failed")
+            out[i] = px
+    for i, (b, f) in enumerate(zip(bufs, fmts)):
+        if out[i] is None:
+            out[i] = decode(b, f)
+    return out
+
+
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """mapInPandas image resize: decode → block-mean → raw RGB out.
     Input df needs (image_id, bytes, w, h, fmt)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = []
-            for buf, fmt in zip(pdf["bytes"], pdf["fmt"]):
-                px = decode(buf, fmt)
-                pixels.append(block_mean_resize(px, out_w, out_h).tobytes())
+            pixels = [block_mean_resize(px, out_w, out_h).tobytes()
+                      for px in _decode_batch(pdf["bytes"], pdf["fmt"])]
             pdf = pdf[["image_id", "bytes", "w", "h", "fmt"]].copy()
             pdf["out_w"] = np.int32(out_w)
             pdf["out_h"] = np.int32(out_h)
@@ -78,8 +99,7 @@ def image_features(df: DataFrame, grid: int = 4) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, hashes = [], []
-            for buf, fmt in zip(pdf["bytes"], pdf["fmt"]):
-                px = decode(buf, fmt)
+            for px in _decode_batch(pdf["bytes"], pdf["fmt"]):
                 small = block_mean_resize(px, grid, grid).astype(np.float32)
                 gray = small.mean(axis=2) / 255.0
                 feats.append(gray.flatten().tolist())
