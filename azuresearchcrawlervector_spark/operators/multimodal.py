@@ -13,16 +13,20 @@ What is REAL here, continued:
   centroid features, the ITU-T G.711 µ-law compressed codec, and IMA
   ADPCM (WAVE fmt 0x0011 — adaptive delta prediction, 4 bits/sample)
   (core/audio.py),
-- MJPEG-in-AVI video (core/video.py — RIFF/AVI container + per-frame
-  baseline JPEG): sample_frames parses the real container and
-  entropy-decodes only the sampled frames.
+- MJPEG video in BOTH containers: AVI (core/video.py — RIFF) and MP4
+  (core/mp4.py — ISO BMFF): sample_frames parses the real container
+  and entropy-decodes only the sampled frames; for non-MJPEG mp4
+  codecs it emits real keyframe BYTE RANGES from the sample table,
+- Ogg container metadata (core/ogg.py — CRC-validated pages +
+  Vorbis/Opus ident headers): audio_metadata_table reports
+  codec/channels/rate/duration with no codec library.
 
 What is a clearly-marked STUB (no codec libraries in this container):
-- compressed audio (mp3/ogg) + non-AVI video (mp4/webm):
-  ``NotImplementedError`` for real codecs, with a deterministic fake
-  behind ``allow_fake=True`` so the batch plumbing is exercised
-  end-to-end by tests. Swapping in PIL/ffmpeg touches ONLY the kernel
-  bodies, never the Spark plumbing.
+- compressed-audio WAVEFORM decode (mp3, and Vorbis/Opus packets) +
+  non-ISO video containers (webm/mkv): ``NotImplementedError`` for
+  real decode, with a deterministic fake behind ``allow_fake=True`` so
+  the batch plumbing is exercised end-to-end by tests. Swapping in
+  PIL/ffmpeg touches ONLY the kernel bodies, never the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -169,6 +173,59 @@ def audio_feature_table(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "bytes").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = ("media_id string, container string, codec string, "
+                     "channels int, sample_rate int, duration_s double")
+
+
+def audio_metadata_table(df: DataFrame) -> DataFrame:
+    """Container-level audio metadata over (media_id, bytes) — REAL for
+    every format the repo carries a container for: RIFF/WAVE (PCM,
+    G.711 µ-law, IMA ADPCM — full decode, so duration is exact) and
+    Ogg (core/ogg.py — per-page CRC-validated parse + Vorbis/Opus
+    identification headers; codec/channels/rate/duration WITHOUT any
+    codec library, which is the training-data-audit use case). Unknown
+    containers raise — no silent fake here, metadata is cheap truth."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..core.audio import adpcm_decode, g711u_decode, wav_decode
+        from ..core.ogg import is_ogg, ogg_parse
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(buf)
+                if is_ogg(data):
+                    m = ogg_parse(data)
+                    rows.append((mid, "ogg", m["codec"], m["channels"],
+                                 m["sample_rate"], m["duration_s"]))
+                    continue
+                if data[:5] == b"G711U":   # the repo's µ-law container
+                    pcm, rate = g711u_decode(data)
+                    rows.append((mid, "g711u", "g711_ulaw", pcm.shape[1],
+                                 rate, round(len(pcm) / rate, 6)))
+                    continue
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    raise ValueError("unknown audio container")
+                (fmt_tag,) = struct.unpack("<H", data[20:22])
+                dec = {1: ("pcm_s16le", wav_decode),
+                       0x11: ("ima_adpcm", adpcm_decode)}.get(fmt_tag)
+                if dec is None:
+                    raise ValueError(f"unknown WAVE fmt tag {fmt_tag}")
+                name, fn = dec
+                pcm, rate = fn(data)
+                rows.append((mid, "wave", name, pcm.shape[1], rate,
+                             round(len(pcm) / rate, 6)))
+            out = pd.DataFrame(rows, columns=[
+                "media_id", "container", "codec", "channels",
+                "sample_rate", "duration_s"])
+            out["channels"] = out["channels"].astype("int32")
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            yield out
+
+    return df.select("media_id", "bytes").mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,

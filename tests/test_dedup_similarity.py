@@ -563,3 +563,38 @@ def test_duplicate_clusters_star_one_row_per_doc_at_max_iters(spark):
     out = duplicate_clusters_star(pairs, max_iters=1).collect()
     ids = [r["doc_id"] for r in out]
     assert len(ids) == len(set(ids)) == 21
+
+
+def test_audio_metadata_table_wave_and_ogg(spark):
+    """Container-level audio metadata is REAL for WAVE (all three
+    carried codecs, exact duration) and Ogg (CRC-validated pages +
+    Vorbis/Opus ident headers) — no codec library involved."""
+    from azuresearchcrawlervector_spark.core.audio import (
+        adpcm_encode, g711u_encode, synth_tone, wav_encode,
+    )
+    from azuresearchcrawlervector_spark.core.ogg import ogg_encode_stream
+    from azuresearchcrawlervector_spark.operators.multimodal import (
+        audio_metadata_table,
+    )
+
+    tone = synth_tone("amt", duration_s=0.25)
+    rows = [
+        ("w", bytearray(wav_encode(tone))),
+        ("g", bytearray(g711u_encode(tone))),
+        ("a", bytearray(adpcm_encode(tone))),
+        ("ov", bytearray(ogg_encode_stream("vorbis", 2, 16000,
+                                           total_samples=8000))),
+        ("oo", bytearray(ogg_encode_stream("opus", 1, 48000,
+                                           total_samples=96000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {r["media_id"]: r for r in audio_metadata_table(df).collect()}
+    assert got["w"]["codec"] == "pcm_s16le" and got["w"]["container"] == "wave"
+    assert abs(got["w"]["duration_s"] - 0.25) < 1e-6
+    assert got["g"]["codec"] == "g711_ulaw" and got["g"]["container"] == "g711u"
+    assert got["a"]["codec"] == "ima_adpcm"
+    assert got["ov"]["codec"] == "vorbis" and got["ov"]["channels"] == 2
+    assert got["ov"]["sample_rate"] == 16000
+    assert abs(got["ov"]["duration_s"] - 0.5) < 1e-6   # 8000/16000
+    assert got["oo"]["codec"] == "opus"
+    assert abs(got["oo"]["duration_s"] - 2.0) < 1e-6   # 96000/48000
