@@ -118,6 +118,7 @@ def train_ivf_centroids(
     df: DataFrame, n_centroids: int = 16,
     vec_col: str = "embedding", id_col: str = "vec_id",
     sample_size: int = 4096, iters: int = 8, seed: int = 42,
+    restarts: int = 3,
 ) -> list[tuple[int, list]]:
     """Deterministic sampled spherical k-means centroids — the at-scale
     IVF build: balanced inverted lists even when row order correlates
@@ -148,6 +149,21 @@ def train_ivf_centroids(
     X = X / np.where(nrm == 0, 1.0, nrm)
     n = len(X)
     k = min(n_centroids, n)
+    # ``restarts`` deterministic k-means++ seeds; keep the run with the
+    # best objective (total max-dot) — single-restart k-means++ quality
+    # varies enough run-to-run to matter for list balance
+    best, best_obj = None, -np.inf
+    for r in range(max(1, restarts)):
+        C = _spherical_kmeans(X, k, seed + r, iters)
+        obj = float(np.max(X @ C.T, axis=1).sum())
+        if obj > best_obj:
+            best, best_obj = C, obj
+    return [(j, [float(x) for x in best[j]]) for j in range(k)]
+
+
+def _spherical_kmeans(X: np.ndarray, k: int, seed: int,
+                      iters: int) -> np.ndarray:
+    n = len(X)
     rng = np.random.default_rng(seed)
 
     # k-means++ init (cosine distance = 1 - dot on unit vectors)
@@ -176,7 +192,7 @@ def train_ivf_centroids(
             cents = newc
             break
         cents = newc
-    return [(j, [float(x) for x in cents[j]]) for j in range(k)]
+    return cents
 
 
 def with_ivf_assignment(df: DataFrame, cents: list[tuple[int, list]],
