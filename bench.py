@@ -263,7 +263,7 @@ def sf1_bench(spark, qs, sf_dir: str, base_times: dict) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def jpeg_decode_bench(n: int = 1500) -> dict:
+def jpeg_decode_bench(n: int = 800) -> dict:
     """Single-core decode throughput row (round-4 VERDICT #3 pin):
     scalar LUT path vs the lane-parallel batch decoder at the bench's
     64x48 and a small-thumbnail 32x24, best-of-2 on CPU time. The
@@ -313,7 +313,7 @@ def _measure(fn) -> float:
     return _t.process_time() - t0
 
 
-def ivf_skew_bench(spark, n: int = 200_000, dim: int = 16) -> dict:
+def ivf_skew_bench(spark, n: int = 120_000, dim: int = 16) -> dict:
     """Round-4 VERDICT #2 evidence row: on a skewed table whose head
     rows cover each source once while one hot source dominates volume,
     positional first-n centroids leave one giant inverted list (a hot
