@@ -11,23 +11,23 @@ IDCT and color conversion.
 This replaces the round-1/2 ``qpng`` stand-in for the ``jpeg`` fmt
 everywhere — fixtures, flagship AND the 120k-row bench — so the
 PSNR ≥ 40 dB fetch invariant (BASELINE.json input_hint) always runs
-against real lossy-DCT artifacts. Two decode paths:
+against real lossy-DCT artifacts. Three decode engines, all feeding
+ONE shared numpy dequant/IDCT/color tail (_assemble_rgb), so they are
+bit-identical by construction:
 
-- scalar: numpy-prepped bitstream + 2^16 code-length LUT, one python
-  list read per symbol (~1 us/symbol; see _decode_scan_lut).
-- batched (jpeg_decode_batch): lane-parallel across an Arrow batch's
-  images — one vectorized step advances every image by one symbol.
-  Measured (BENCH/BASELINE.md "jpeg decode", best-of repeats on a
-  shared box): ~2.3-2.8x scalar at 16x16, 1-2x at 64x48 — the spread
-  is cache weather; numpy's ~25 ns/element over ~30 ops/step meets
-  CPython's ~1 us/symbol nearly head-on at the larger size. >100-MCU
-  images route back to the scalar path, so batch decode is never
-  meaningfully slower. The honest ceiling of a pure-
-  python/numpy Huffman decoder is ~1 us/symbol/core either way — the
-  production answer for a JPEG-heavy corpus remains swapping this
-  module for libjpeg-turbo, with no Spark-side changes
-  (functions/imagefn.py is codec-agnostic, and the batch API is
-  exactly the shape a C codec wants). What the engine ARCHITECTURE
+- C kernel (default when a system compiler exists, core/cjpeg.py):
+  the per-symbol Huffman loop compiled at first use — removes the
+  ~1 us/symbol CPython interpreter floor outright. Measured ~5-10x
+  per core over the python LUT path end-to-end at 64x48
+  (BENCH/BASELINE.md "jpeg decode"); no install, graceful fallback.
+- scalar LUT: numpy-prepped bitstream + 2^16 code-length LUT, one
+  python list read per symbol (~1 us/symbol; see _decode_scan_lut).
+- batched lanes (jpeg_decode_batch without the C kernel): one
+  vectorized step advances every image by one symbol — ~2.3-2.8x
+  scalar at 16x16, 1-2x at 64x48; >100-MCU images route back to the
+  scalar path. The remaining production step-up for a JPEG-heavy
+  corpus is swapping in libjpeg-turbo, with no Spark-side changes
+  (functions/imagefn.py is codec-agnostic). What the engine ARCHITECTURE
   guarantees — pinned by the N vs 4N scaling bench, which runs with
   full decode+PSNR validation on — is that decode is embarrassingly
   parallel row work that overlaps the rest of the wave and scales
@@ -45,6 +45,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from . import cjpeg
 
 # --- ITU-T T.81 Annex K.1: base quantization tables (zigzag=False, row-major)
 QUANT_LUM = np.array([
@@ -187,25 +189,12 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
-
-
 def _to_blocks(chan: np.ndarray) -> np.ndarray:
     """(H, W) channel (H, W multiples of 8) → (n_blocks, 8, 8), row-major
     block order."""
     h, w = chan.shape
     return (chan.reshape(h // 8, 8, w // 8, 8)
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
-
-
-def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
-    by, bx = h // 8, w // 8
-    return (blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(h, w))
 
 
 def _quantized_blocks(px: np.ndarray, quality: int):
@@ -232,14 +221,12 @@ def reconstruct(px: np.ndarray, quality: int = 90) -> np.ndarray:
     """The encoder's lossy model WITHOUT entropy coding: what a correct
     decoder must produce bit-for-bit from encode(px, quality)."""
     h, w = px.shape[:2]
-    comps, ph, pw, (qlum, qchrom) = _quantized_blocks(px, quality)
-    planes = []
-    for c, zz in enumerate(comps):
-        qt = qlum if c == 0 else qchrom
-        coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * qt
-        blocks = _CT @ coeffs.astype(np.float64) @ _C
-        planes.append(_from_blocks(blocks, ph, pw) + 128.0)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]
+    comps, _ph, _pw, (qlum, qchrom) = _quantized_blocks(px, quality)
+    res: list = [None]
+    _assemble_rgb(
+        [(0, {0: qlum.astype(np.int32), 1: qchrom.astype(np.int32)},
+          [(1, 0), (2, 1), (3, 1)], h, w, np.concatenate(comps))], res)
+    return res[0]
 
 
 class _BitWriter:
@@ -450,18 +437,25 @@ def _lut16(bits: list[int], vals: list[int]) -> list[int]:
 _WINDOW_LIST_MAX = 1 << 21  # 2M windows ≈ 256 KB of scan bytes
 
 
-def _scan_windows(data: bytes, pos: int, as_list: bool | None = None):
-    """Entropy-coded scan bytes from ``pos`` → W[i] = the 16 bits
-    starting at bit offset i. Stuffed 0x00 after 0xFF removed; the scan
-    ends at the first real marker (0xFF followed by non-zero). Returns
-    a python list for small scans (fastest per-symbol indexing) and a
-    numpy int64 array past ``_WINDOW_LIST_MAX`` (bounded memory)."""
+def _destuff(data: bytes, pos: int) -> np.ndarray:
+    """Entropy-coded scan bytes from ``pos`` as a uint8 array: stuffed
+    0x00 after 0xFF removed; the scan ends at the first real marker
+    (0xFF followed by non-zero). Shared by all three engines."""
     arr = np.frombuffer(data, dtype=np.uint8)[pos:]
     marker = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
     seg = arr[:int(marker[0])] if len(marker) else arr
     stuffed = np.flatnonzero((seg[:-1] == 0xFF) & (seg[1:] == 0x00)) + 1
     if len(stuffed):
         seg = np.delete(seg, stuffed)
+    return seg
+
+
+def _scan_windows(data: bytes, pos: int, as_list: bool | None = None):
+    """Entropy-coded scan bytes from ``pos`` → W[i] = the 16 bits
+    starting at bit offset i. Returns a python list for small scans
+    (fastest per-symbol indexing) and a numpy int64 array past
+    ``_WINDOW_LIST_MAX`` (bounded memory)."""
+    seg = _destuff(data, pos)
     bits = np.unpackbits(seg)
     n = len(bits)
     padded = np.concatenate([bits, np.zeros(32, dtype=np.uint8)])
@@ -595,18 +589,48 @@ def _parse_headers(data: bytes):
     return qt, huff, h, w, comp_spec, scan_tabs, pos
 
 
-def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
+_LUT_BANK6_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _lut_bank6(huff: dict, scan_tabs: list) -> np.ndarray:
+    """The image's six Huffman LUTs (dc0 ac0 dc1 ac1 dc2 ac2) as ONE
+    contiguous int32 array for the C kernel — cached on table content
+    so the standard-table common case concatenates once per process."""
+    pairs = []
+    for c in range(3):
+        for tc in (0, 1):
+            pairs.append(huff[(tc, scan_tabs[c][tc])])
+    key = tuple((tuple(b), tuple(v)) for b, v in pairs)
+    got = _LUT_BANK6_CACHE.get(key)
+    if got is None:
+        got = np.concatenate([_lut16_arr(*bv) for bv in pairs])
+        while len(_LUT_BANK6_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_BANK6_CACHE.pop(next(iter(_LUT_BANK6_CACHE)))
+        _LUT_BANK6_CACHE[key] = got
+    return got
+
+
+def jpeg_decode(data: bytes, engine: str = "auto") -> np.ndarray:
     """Baseline JFIF bytes → HxWx3 uint8 RGB. Supports what jpeg_encode
     emits plus any baseline 1x1-sampled 3-component stream with its own
     DQT/DHT tables; APPn/COM segments are skipped.
 
-    ``engine``: "lut" (default) decodes the scan via the vectorized
-    window/LUT path; "bitwise" uses the per-bit reference reader —
-    kept for the byte-parity pin in tests/test_images.py."""
+    ``engine``: "auto" (default) picks the compiled C entropy kernel
+    (core/cjpeg.py) when a system compiler is available and otherwise
+    the vectorized window/LUT path; "c" / "lut" force those; "bitwise"
+    uses the per-bit reference reader — kept for the byte-parity pin
+    in tests/test_images.py. All engines are bit-identical
+    (tests/test_images.py, tests/test_cjpeg.py)."""
     qt, huff, h, w, comp_spec, scan_tabs, pos = _parse_headers(data)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_mcus = (ph // 8) * (pw // 8)
-    if engine == "lut":
+    if engine == "auto":
+        engine = "c" if cjpeg.available() else "lut"
+    if engine == "c":
+        c3 = cjpeg.decode_scan(_destuff(data, pos),
+                               _lut_bank6(huff, scan_tabs), n_mcus)
+        coeffs = [c3[c] for c in range(3)]
+    elif engine == "lut":
         tables = [
             (_lut16(*huff[(0, scan_tabs[c][0])]),
              _lut16(*huff[(1, scan_tabs[c][1])]))
@@ -638,13 +662,10 @@ def jpeg_decode(data: bytes, engine: str = "lut") -> np.ndarray:
                     k += r
                     zz[k] = _extend(br.bits(s), s)
                     k += 1
-    planes = []
-    for c in range(3):
-        tab = qt[comp_spec[c][1]].astype(np.float64)
-        blocks = coeffs[c][:, UNZIGZAG].reshape(-1, 8, 8) * tab
-        px = _CT @ blocks @ _C  # batched (n,8,8) matmul beats einsum ~3x
-        planes.append(_from_blocks(px, ph, pw) + 128.0)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))[:h, :w]
+    res: list = [None]
+    _assemble_rgb(
+        [(0, qt, comp_spec, h, w, np.concatenate(coeffs))], res)
+    return res[0]
 
 
 
@@ -695,12 +716,7 @@ def _scan_u40(data: bytes, pos: int) -> tuple[np.ndarray, int]:
     truncation). One int64 per scan BYTE — 8x less memory than a
     per-bit window array, which is what lets thousands of lanes share
     one concatenated array."""
-    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
-    marker = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
-    seg = arr[:int(marker[0])] if len(marker) else arr
-    stuffed = np.flatnonzero((seg[:-1] == 0xFF) & (seg[1:] == 0x00)) + 1
-    if len(stuffed):
-        seg = np.delete(seg, stuffed)
+    seg = _destuff(data, pos)
     B = np.zeros(len(seg) + 8, dtype=np.uint64)
     B[:len(seg)] = seg
     U = ((B[:-4] << np.uint64(32)) | (B[1:-3] << np.uint64(24))
@@ -838,7 +854,11 @@ def jpeg_decode_batch(datas: list[bytes],
     bounded by ``max_windows`` concatenated bitstream entries (one per
     scan byte, 8 bytes each) and ``_BATCH_MAX_COEFF`` coefficient slots
     per sub-batch; oversize single images fall back to the scalar
-    decoder."""
+    decoder. When the compiled C entropy kernel is available it
+    replaces the lane decoder outright (same numpy assembly tail,
+    bit-identical output, ~2 orders of magnitude faster per symbol)."""
+    if cjpeg.available():
+        return _decode_batch_c(datas)
     out: list = [None] * len(datas)
     metas = []  # (i, qt, huff, comp_spec, scan_tabs, h, w, U, n_bits, nm)
     for i, data in enumerate(datas):
@@ -870,6 +890,36 @@ def jpeg_decode_batch(datas: list[bytes],
             end += 1
         _decode_subbatch(metas[start:end], out)
         start = end
+    return out
+
+
+def _decode_batch_c(datas: list) -> list:
+    """C-kernel batch decode: entropy decode per image in compiled
+    code (core/cjpeg.py), dequant/IDCT/assembly through the shared
+    vectorized tail. Per-image isolation as in the lane path (a bad
+    image yields None, never affects its batch); flushes the assembly
+    tail at the lane path's coefficient budget so concat memory stays
+    bounded regardless of batch size."""
+    out: list = [None] * len(datas)
+    items: list = []
+    blocks_pending = 0
+    max_blocks = _BATCH_MAX_COEFF // 128  # same budget as the lane path
+    for i, data in enumerate(datas):
+        try:
+            data = bytes(data)
+            qt, huff, h, w, comp_spec, scan_tabs, pos = _parse_headers(data)
+            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            nm = (ph // 8) * (pw // 8)
+            c3 = cjpeg.decode_scan(_destuff(data, pos),
+                                   _lut_bank6(huff, scan_tabs), nm)
+            items.append((i, qt, comp_spec, h, w, c3.reshape(3 * nm, 64)))
+            blocks_pending += 3 * nm
+        except Exception:
+            out[i] = None
+        if blocks_pending >= max_blocks:
+            _assemble_rgb(items, out)
+            items, blocks_pending = [], 0
+    _assemble_rgb(items, out)
     return out
 
 
@@ -917,42 +967,84 @@ def _decode_subbatch(metas, out) -> None:
                            ac_slots, n_mcus_a, img_bases, coeff_flat)
     failed |= ~ok_lane
 
-    # dequant + IDCT for ALL surviving blocks in one batched matmul,
-    # then SAME-SHAPE images assemble through one vectorized
-    # reshape/transpose + color-convert pass per (h, w) group (the
-    # common case — a crawl's thumbnails are uniform — collapses ~40
-    # small per-image numpy calls into ~15 group-wide ones)
     good = np.flatnonzero(~failed)
     if not len(good):
         return
-    blocks_parts, quant_parts = [], []
+    items = []
     for li in good:
-        _i, qt, _huff, comp_spec, _st, _h, _w, _W, _nb, nm = metas[li]
+        i, qt, _huff, comp_spec, _st, h, w, _W, _nb, nm = metas[li]
         cf = coeff_flat[img_bases[li]:img_bases[li] + 3 * nm * 128]
-        blocks_parts.append(cf.reshape(-1, 128)[:, :64])
+        items.append((i, qt, comp_spec, h, w, cf.reshape(-1, 128)[:, :64]))
+    _assemble_rgb(items, out)
+
+
+_CF = None  # float32 IDCT bases, built lazily (after _C is defined)
+_CTF = None
+
+
+def _assemble_rgb(items: list, out: list) -> None:
+    """Shared decode tail for ALL engines (scalar lut/bitwise/C, lane
+    batch, C batch) and for reconstruct(): ``items`` = (i, qt,
+    comp_spec, h, w, blocks64) with blocks64 = (3 * n_mcus, 64) int32
+    ZIGZAG coeffs, component-major. float32 throughout: dequant runs
+    in the zigzag domain (coeff * step <= 2047 * 255 < 2^24, so the
+    products are EXACT in float32), the IDCT as batched per-block
+    (n,8,8) matmuls — per-block deterministic, unlike one big SGEMM
+    whose summation order varies with matrix height — and color
+    conversion PLANAR with in-place rint/clip. Every decode path and
+    reconstruct() share this exact code, so the decode==reconstruct
+    bit-contract holds by construction. Component planes bucket by
+    quant table so a uniform crawl batch runs ~2 vector passes."""
+    global _CF, _CTF
+    if not items:
+        return
+    if _CF is None:
+        _CF, _CTF = _C.astype(np.float32), _CT.astype(np.float32)
+    # bucket component planes by quant table -> one vector pass each
+    by_qt: dict[bytes, list] = {}
+    pos = 0
+    for _i, qt, comp_spec, _h, _w, blocks64 in items:
+        nm = blocks64.shape[0] // 3
         for c in range(3):
-            quant_parts.append(
-                np.broadcast_to(
-                    qt[comp_spec[c][1]].reshape(64).astype(np.float64),
-                    (nm, 64)))
-    B = np.concatenate(blocks_parts)[:, UNZIGZAG].reshape(-1, 8, 8)
-    Q = np.concatenate(quant_parts).reshape(-1, 8, 8)  # already row-major
-    PX = _CT @ (B * Q) @ _C
-    # group by padded shape for vectorized assembly
+            tab = qt[comp_spec[c][1]]
+            by_qt.setdefault(tab.tobytes(), [tab, []])[1].append(
+                (pos, blocks64[c * nm:(c + 1) * nm]))
+            pos += nm
+    PX = np.empty((pos, 64), dtype=np.float32)
+    for tab, lst in by_qt.values():
+        qzig = np.empty(64, dtype=np.float32)
+        qzig[UNZIGZAG] = tab.reshape(64)  # quant step per ZIGZAG slot
+        Y = np.concatenate([b for _s, b in lst]).astype(np.float32)
+        Y *= qzig                         # exact: products < 2^24
+        B = Y[:, UNZIGZAG].reshape(-1, 8, 8)
+        R = (_CTF @ B @ _CF).reshape(-1, 64)
+        o = 0
+        for s, b in lst:
+            PX[s:s + len(b)] = R[o:o + len(b)]
+            o += len(b)
+    # group by shape for vectorized planar assembly + color convert
     groups: dict[tuple, list] = {}
     b0 = 0
-    for li in good:
-        i, _qt, _huff, _cs, _st, h, w, _W, _nb, nm = metas[li]
+    for i, _qt, _cs, h, w, blocks64 in items:
         groups.setdefault((h, w), []).append((i, b0))
-        b0 += 3 * nm
+        b0 += blocks64.shape[0]
     for (h, w), members in groups.items():
         ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
         nm = (ph // 8) * (pw // 8)
         sel = np.concatenate(
             [np.arange(b0, b0 + 3 * nm) for _i, b0 in members])
-        g = PX[sel].reshape(len(members), 3, ph // 8, pw // 8, 8, 8)
-        ycc = g.transpose(0, 2, 4, 3, 5, 1).reshape(
-            len(members), ph, pw, 3) + 128.0
-        rgb = _ycbcr_to_rgb(ycc)  # vectorized over the whole group
+        n = len(members)
+        P = (PX[sel].reshape(n, 3, ph // 8, pw // 8, 8, 8)
+             .transpose(0, 1, 2, 4, 3, 5).reshape(n, 3, ph, pw))
+        y = P[:, 0] + np.float32(128.0)
+        cb, cr = P[:, 1], P[:, 2]
+        r = y + np.float32(1.402) * cr
+        g = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+        b = y + np.float32(1.772) * cb
+        rgb = np.empty((n, ph, pw, 3), dtype=np.uint8)
+        for ci, ch in enumerate((r, g, b)):
+            np.rint(ch, out=ch)
+            np.clip(ch, 0, 255, out=ch)
+            rgb[..., ci] = ch
         for m, (i, _b0) in enumerate(members):
             out[i] = rgb[m, :h, :w]
