@@ -13,20 +13,22 @@ What is REAL here, continued:
   centroid features, the ITU-T G.711 µ-law compressed codec, and IMA
   ADPCM (WAVE fmt 0x0011 — adaptive delta prediction, 4 bits/sample)
   (core/audio.py),
-- MJPEG video in BOTH containers: AVI (core/video.py — RIFF) and MP4
-  (core/mp4.py — ISO BMFF): sample_frames parses the real container
-  and entropy-decodes only the sampled frames; for non-MJPEG mp4
-  codecs it emits real keyframe BYTE RANGES from the sample table,
+- MJPEG video in THREE containers: AVI (core/video.py — RIFF), MP4
+  (core/mp4.py — ISO BMFF) and Matroska/WebM (core/mkv.py — EBML):
+  sample_frames parses the real container and entropy-decodes only
+  the sampled frames; for non-MJPEG codecs in MP4/MKV it emits real
+  keyframe BYTE RANGES from the sample table / block index,
 - Ogg container metadata (core/ogg.py — CRC-validated pages +
   Vorbis/Opus ident headers): audio_metadata_table reports
   codec/channels/rate/duration with no codec library.
 
 What is a clearly-marked STUB (no codec libraries in this container):
 - compressed-audio WAVEFORM decode (mp3, and Vorbis/Opus packets) +
-  non-ISO video containers (webm/mkv): ``NotImplementedError`` for
-  real decode, with a deterministic fake behind ``allow_fake=True`` so
-  the batch plumbing is exercised end-to-end by tests. Swapping in
-  PIL/ffmpeg touches ONLY the kernel bodies, never the Spark plumbing.
+  unrecognized video containers (raw streams with no AVI/MP4/MKV
+  signature): ``NotImplementedError`` for real decode, with a
+  deterministic fake behind ``allow_fake=True`` so the batch plumbing
+  is exercised end-to-end by tests. Swapping in PIL/ffmpeg touches
+  ONLY the kernel bodies, never the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -232,25 +234,28 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
                   allow_fake: bool = False) -> DataFrame:
     """Frame sampling over a video BINARY column (media_id, bytes, fmt).
 
-    REAL codec for MJPEG — in AVI (core/video.py, RIFF container) or
-    in MP4 (core/mp4.py, ISO BMFF 'jpeg' sample entry): frames 0,
-    every_n, 2·every_n, … up to n_frames are entropy-decoded
-    (intra-only = O(sampled frames), never a full-stream decode) and
-    emitted as lossless PNG bytes.
+    REAL codec for MJPEG — in AVI (core/video.py, RIFF), MP4
+    (core/mp4.py, ISO BMFF 'jpeg' sample entry) or Matroska/WebM
+    (core/mkv.py, EBML 'V_MJPEG'): frames 0, every_n, 2·every_n, …
+    up to n_frames are entropy-decoded (intra-only = O(sampled
+    frames), never a full-stream decode) and emitted as lossless PNG
+    bytes.
 
-    REAL container, other codec (avc1/vp9/… in MP4): the ISO sample
-    table still resolves every keyframe's BYTE RANGE without a codec —
-    sampling emits the raw keyframe samples (what a downstream GPU
-    decode stage wants). Decoding those to pixels is the only part
-    that still needs an external codec.
+    REAL container, other codec (avc1/vp9/… in MP4; V_VP9/V_AV1/… in
+    MKV): the sample table / block index still resolves every
+    keyframe's BYTE RANGE without a codec — sampling emits the raw
+    keyframe samples (what a downstream GPU decode stage wants).
+    Decoding those to pixels is the only part that still needs an
+    external codec.
 
-    Non-ISO containers (webm/mkv): with allow_fake the 'frames' are
-    deterministic byte slices of the payload (so batch shape,
-    explode-like fan-out and partitioning are all real); raises
-    NotImplementedError otherwise.
+    Unrecognized containers (no AVI/MP4/MKV signature): with
+    allow_fake the 'frames' are deterministic byte slices of the
+    payload (so batch shape, explode-like fan-out and partitioning
+    are all real); raises NotImplementedError otherwise.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..core.images import png_encode
+        from ..core.mkv import is_mkv, mkv_parse, mkv_sample_bytes
         from ..core.mp4 import is_mp4, mp4_parse, mp4_sample_bytes
         from ..core.video import is_avi, mjpeg_avi_decode
 
@@ -299,13 +304,43 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
                             idxs.append(fi)
                             frames.append(mp4_sample_bytes(data, t, fi))
                     continue
+                if is_mkv(data):
+                    vids = [t for t in mkv_parse(data)
+                            if t["handler"] == "vide" and t["n_samples"]]
+                    if not vids:
+                        raise ValueError("mkv has no video track")
+                    t = vids[0]
+                    if t["codec"] == "V_MJPEG":
+                        # MJPEG-in-Matroska: real pixels (core/jpeg.py)
+                        from ..core.jpeg import jpeg_decode
+                        want = [fi * every_n for fi in range(n_frames)
+                                if fi * every_n < t["n_samples"]]
+                        for fi in want:
+                            ids.append(mid)
+                            idxs.append(fi)
+                            frames.append(png_encode(
+                                jpeg_decode(mkv_sample_bytes(data, t, fi))))
+                    else:
+                        # container-level sampling: every_n-th KEYFRAME's
+                        # raw block bytes via the SimpleBlock/BlockGroup
+                        # index (keyframe = flag bit / no ReferenceBlock)
+                        keys = sorted(t["sync"])
+                        want = [keys[fi * every_n]
+                                for fi in range(n_frames)
+                                if fi * every_n < len(keys)]
+                        for fi in want:
+                            ids.append(mid)
+                            idxs.append(fi)
+                            frames.append(mkv_sample_bytes(data, t, fi))
+                    continue
                 if not allow_fake:
                     raise NotImplementedError(
-                        "non-ISO video containers (webm/mkv) need an "
-                        "external demuxer; use MJPEG/AVI (core/video.py) "
-                        "or MP4 (core/mp4.py — real pixels for 'jpeg' "
-                        "tracks, keyframe byte ranges for any codec), or "
-                        "pass allow_fake=True for the test stand-in")
+                        "unrecognized video container; use MJPEG/AVI "
+                        "(core/video.py), MP4 (core/mp4.py) or "
+                        "Matroska/WebM (core/mkv.py) — real pixels for "
+                        "MJPEG tracks, keyframe byte ranges for any "
+                        "codec — or pass allow_fake=True for the test "
+                        "stand-in")
                 for fi in range(n_frames):
                     off = (fi * every_n) % max(len(data), 1)
                     ids.append(mid)
