@@ -706,6 +706,15 @@ _BATCH_MAX_COEFF = 1 << 24    # coefficient slots/sub-batch (int32, ~64 MB
 # loses past ~100 MCUs where per-image vector ops already dominate —
 # route those to the scalar LUT path so batch decode is never slower.
 _BATCH_SCALAR_MCUS = 100
+# C-kernel batch assembly flush budget, in 64-coeff blocks. The IDCT +
+# color-convert tail is pure vector math either way; what matters is
+# that the flush group's intermediates (int32 coeffs + ~4 float32
+# copies) stay cache-resident. Measured on 64x48 crawl-size images:
+# ~0.17 ms/img at 1-5K blocks vs 0.33 ms/img flushing 100K blocks
+# (30-90 MB intermediates thrash L2/L3), and per-image flushing pays
+# ~10% python overhead. 4096 blocks ≈ 1 MB coeffs ≈ 28 images at
+# 64x48 — flat-optimal at both bench sizes.
+_ASSEMBLE_FLUSH_BLOCKS = 4096
 
 
 def _scan_u40(data: bytes, pos: int) -> tuple[np.ndarray, int]:
@@ -898,12 +907,14 @@ def _decode_batch_c(datas: list) -> list:
     code (core/cjpeg.py), dequant/IDCT/assembly through the shared
     vectorized tail. Per-image isolation as in the lane path (a bad
     image yields None, never affects its batch); flushes the assembly
-    tail at the lane path's coefficient budget so concat memory stays
-    bounded regardless of batch size."""
+    tail at the CACHE-RESIDENT block budget (_ASSEMBLE_FLUSH_BLOCKS —
+    entropy decode is compiled here, so assembly is the dominant tail
+    and runs fastest when each flush group's intermediates fit L2/L3),
+    which also bounds concat memory regardless of batch size."""
     out: list = [None] * len(datas)
     items: list = []
     blocks_pending = 0
-    max_blocks = _BATCH_MAX_COEFF // 128  # same budget as the lane path
+    max_blocks = _ASSEMBLE_FLUSH_BLOCKS
     for i, data in enumerate(datas):
         try:
             data = bytes(data)
