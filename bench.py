@@ -351,6 +351,19 @@ def ivf_skew_bench(spark, n: int = 120_000, dim: int = 16) -> dict:
             .drop("src")
         )
         qvec = [float(x) for x in dirs[0]]  # hot-direction query
+        # recall ground truth: exact cosine top-10 for 4 query
+        # directions (hot + 3 others), computed in numpy — bench
+        # instrumentation only, the engine path stays distributed
+        E_rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in E_rows])
+        E = np.array([r["embedding"] for r in E_rows], dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        queries = [[float(x) for x in dirs[j]] for j in range(4)]
+        exact10 = []
+        for q in queries:
+            qn = np.array(q) / np.linalg.norm(q)
+            top = np.argsort(-(En @ qn))[:10]
+            exact10.append(set(ids[top].tolist()))
         out = {}
         for mode in ("positional", "trained"):
             path = f"{work}/emb_{mode}"
@@ -367,11 +380,19 @@ def ivf_skew_bench(spark, n: int = 120_000, dim: int = 16) -> dict:
                        .agg(F.max("count")).collect()[0][0])
             t0 = time.monotonic()
             ann_topk_ivf_partitioned(spark, path, qvec, k=10).count()
+            probe_s = time.monotonic() - t0
+            rec = []
+            for q, ex in zip(queries, exact10):
+                got = {r["vec_id"] for r in
+                       ann_topk_ivf_partitioned(spark, path, q,
+                                                k=10).collect()}
+                rec.append(len(got & ex) / 10)
             out[mode] = {
                 "build_sec": round(build_s, 2),
                 "probe_rows_scanned": scanned,
                 "max_list_frac": round(biggest / n, 3),
-                "probe_sec": round(time.monotonic() - t0, 3),
+                "probe_sec": round(probe_s, 3),
+                "recall_at_10": round(sum(rec) / len(rec), 3),
             }
         out["scan_reduction_x"] = round(
             out["positional"]["probe_rows_scanned"]
