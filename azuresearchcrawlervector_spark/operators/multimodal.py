@@ -19,8 +19,10 @@ What is REAL here, continued:
   the sampled frames; for non-MJPEG codecs in MP4/MKV it emits real
   keyframe BYTE RANGES from the sample table / block index,
 - Ogg container metadata (core/ogg.py — CRC-validated pages +
-  Vorbis/Opus ident headers): audio_metadata_table reports
-  codec/channels/rate/duration with no codec library.
+  Vorbis/Opus ident headers) and MPEG audio / mp3 metadata
+  (core/mp3.py — full frame-header walk, exact duration, CBR/VBR):
+  audio_metadata_table reports codec/channels/rate/duration with no
+  codec library.
 
 What is a clearly-marked STUB (no codec libraries in this container):
 - compressed-audio WAVEFORM decode (mp3, and Vorbis/Opus packets) +
@@ -184,15 +186,18 @@ AUDIO_META_SCHEMA = ("media_id string, container string, codec string, "
 def audio_metadata_table(df: DataFrame) -> DataFrame:
     """Container-level audio metadata over (media_id, bytes) — REAL for
     every format the repo carries a container for: RIFF/WAVE (PCM,
-    G.711 µ-law, IMA ADPCM — full decode, so duration is exact) and
-    Ogg (core/ogg.py — per-page CRC-validated parse + Vorbis/Opus
-    identification headers; codec/channels/rate/duration WITHOUT any
-    codec library, which is the training-data-audit use case). Unknown
-    containers raise — no silent fake here, metadata is cheap truth."""
+    G.711 µ-law, IMA ADPCM — full decode, so duration is exact), Ogg
+    (core/ogg.py — per-page CRC-validated parse + Vorbis/Opus
+    identification headers) and MPEG audio / mp3 (core/mp3.py —
+    full frame-header walk, so duration and CBR-vs-VBR are exact);
+    codec/channels/rate/duration WITHOUT any codec library, which is
+    the training-data-audit use case. Unknown containers raise — no
+    silent fake here, metadata is cheap truth."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         from ..core.audio import adpcm_decode, g711u_decode, wav_decode
+        from ..core.mp3 import is_mp3, mp3_parse
         from ..core.ogg import is_ogg, ogg_parse
 
         for pdf in batches:
@@ -202,6 +207,11 @@ def audio_metadata_table(df: DataFrame) -> DataFrame:
                 if is_ogg(data):
                     m = ogg_parse(data)
                     rows.append((mid, "ogg", m["codec"], m["channels"],
+                                 m["sample_rate"], m["duration_s"]))
+                    continue
+                if is_mp3(data):
+                    m = mp3_parse(data)
+                    rows.append((mid, "mpeg", m["codec"], m["channels"],
                                  m["sample_rate"], m["duration_s"]))
                     continue
                 if data[:5] == b"G711U":   # the repo's µ-law container
