@@ -12,7 +12,9 @@ What is REAL here, continued:
 - WAV audio: stdlib-parsed PCM decode + RMS/zero-crossing/spectral-
   centroid features, the ITU-T G.711 µ-law compressed codec, and IMA
   ADPCM (WAVE fmt 0x0011 — adaptive delta prediction, 4 bits/sample)
-  (core/audio.py),
+  (core/audio.py), plus FLAC (core/flac.py — full from-scratch lossless
+  codec: fixed + LPC prediction, partitioned rice/rice2 residuals,
+  stereo decorrelation, wasted bits, CRC-8/CRC-16/MD5 verification),
 - MJPEG video in THREE containers: AVI (core/video.py — RIFF), MP4
   (core/mp4.py — ISO BMFF) and Matroska/WebM (core/mkv.py — EBML):
   sample_frames parses the real container and entropy-decodes only
@@ -142,11 +144,18 @@ def decode_audio(buf: bytes, fmt: str, allow_fake: bool = False) -> np.ndarray:
         from ..core.audio import adpcm_decode
         pcm, _rate = adpcm_decode(buf)
         return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
+    if fmt == "flac":
+        # REAL compressed audio #3: FLAC — lossless LPC + rice coding
+        # (core/flac.py, full from-scratch codec, CRC+MD5 verified)
+        from ..core.flac import flac_decode
+        pcm, _rate = flac_decode(buf)
+        return (pcm.astype(np.float32) / 32768.0).mean(axis=1)
     if not allow_fake:
         raise NotImplementedError(
             f"{fmt!r} decode requires an external codec (not in this "
             "container); pass allow_fake=True for the deterministic "
-            "test stand-in, or use fmt='wav'/'g711u'/'adpcm' (real codecs)")
+            "test stand-in, or use fmt='wav'/'g711u'/'adpcm'/'flac' "
+            "(real codecs)")
     seed = int.from_bytes(buf[:8].ljust(8, b"\0"), "little", signed=False) % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32)
@@ -156,18 +165,40 @@ AUDIO_FEATURE_SCHEMA = ("media_id string, rms double, zcr_hz double, "
                         "centroid_hz double, duration_s double, sample_rate int")
 
 
+def _decode_waveform(data: bytes):
+    """Container-sniffing PCM decode — every REAL codec the repo
+    carries: WAVE/PCM, IMA-ADPCM WAVE, G.711 µ-law, FLAC. Returns
+    ((n, ch) int16, rate); unknown containers raise."""
+    import struct as _struct
+
+    from ..core.audio import adpcm_decode, g711u_decode, wav_decode
+    from ..core.flac import flac_decode, is_flac
+
+    data = bytes(data)
+    if is_flac(data):
+        return flac_decode(data)
+    if data[:5] == b"G711U":
+        return g711u_decode(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        (fmt_tag,) = _struct.unpack("<H", data[20:22])
+        return adpcm_decode(data) if fmt_tag == 0x11 else wav_decode(data)
+    raise ValueError("unknown audio container")
+
+
 def audio_feature_table(df: DataFrame) -> DataFrame:
-    """mapInPandas WAV feature extraction over (media_id, bytes) —
+    """mapInPandas audio feature extraction over (media_id, bytes) —
     RMS, zero-crossing rate, spectral centroid, duration. Real decode
-    (wave module) + vectorized numpy features; scales like every other
-    Arrow kernel here (pure per-row work, no shuffle)."""
-    from ..core.audio import audio_features, wav_decode
+    for every container the repo carries (WAVE/PCM, IMA ADPCM, G.711
+    µ-law, FLAC — see _decode_waveform) + vectorized numpy features;
+    scales like every other Arrow kernel here (pure per-row work, no
+    shuffle)."""
+    from ..core.audio import audio_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
-                pcm, rate = wav_decode(buf)
+                pcm, rate = _decode_waveform(buf)
                 rows.append({"media_id": mid, **{
                     k: v for k, v in audio_features(pcm, rate).items()}})
             out = pd.DataFrame(rows, columns=["media_id", "rms", "zcr_hz",
@@ -197,6 +228,7 @@ def audio_metadata_table(df: DataFrame) -> DataFrame:
         import struct
 
         from ..core.audio import adpcm_decode, g711u_decode, wav_decode
+        from ..core.flac import flac_parse, is_flac
         from ..core.mp3 import is_mp3, mp3_parse
         from ..core.ogg import is_ogg, ogg_parse
 
@@ -204,6 +236,11 @@ def audio_metadata_table(df: DataFrame) -> DataFrame:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
                 data = bytes(buf)
+                if is_flac(data):
+                    m = flac_parse(data)   # STREAMINFO only — no decode
+                    rows.append((mid, "flac", "flac", m["channels"],
+                                 m["sample_rate"], m["duration_s"]))
+                    continue
                 if is_ogg(data):
                     m = ogg_parse(data)
                     rows.append((mid, "ogg", m["codec"], m["channels"],
