@@ -133,6 +133,11 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return jpeg_encode(pixels, quality=97)
     if fmt == "qpng":
         return qpng_encode(pixels)
+    if fmt == "gif":
+        from .gif import gif_encode
+        # lossless when <=256 distinct colors, else deterministic
+        # median-cut quantization — lossy, PSNR-gated like jpeg
+        return gif_encode(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -149,6 +154,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return jpeg_decode(data)
     if fmt == "qpng":
         return qpng_decode(data)
+    if fmt == "gif":
+        from .gif import gif_decode
+        return gif_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

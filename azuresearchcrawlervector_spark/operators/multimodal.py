@@ -19,7 +19,10 @@ What is REAL here, continued:
   (core/mp4.py — ISO BMFF) and Matroska/WebM (core/mkv.py — EBML):
   sample_frames parses the real container and entropy-decodes only
   the sampled frames; for non-MJPEG codecs in MP4/MKV it emits real
-  keyframe BYTE RANGES from the sample table / block index,
+  keyframe BYTE RANGES from the sample table / block index; animated
+  GIF (core/gif.py — full LZW codec + median-cut palettes) is a
+  fourth intra-only container: sampling decompresses ONLY the wanted
+  frames (block walk skips the rest),
 - Ogg container metadata (core/ogg.py — CRC-validated pages +
   Vorbis/Opus ident headers) and MPEG audio / mp3 metadata
   (core/mp3.py — full frame-header walk, exact duration, CBR/VBR):
@@ -301,6 +304,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
     are all real); raises NotImplementedError otherwise.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.gif import gif_frame, gif_parse, is_gif
         from ..core.images import png_encode
         from ..core.mkv import is_mkv, mkv_parse, mkv_sample_bytes
         from ..core.mp4 import is_mp4, mp4_parse, mp4_sample_bytes
@@ -310,6 +314,19 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
             ids, idxs, frames = [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
                 data = bytes(buf)
+                if is_gif(data):
+                    # animated GIF: frames are independently LZW-coded
+                    # (intra-only, like MJPEG) — gif_frame skips the
+                    # non-sampled frames' sub-blocks without
+                    # decompressing them (core/gif.py)
+                    total = gif_parse(data)["n_frames"]
+                    want = [fi * every_n for fi in range(n_frames)
+                            if fi * every_n < total]
+                    for fi in want:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(png_encode(gif_frame(data, fi)))
+                    continue
                 if is_avi(data):
                     # REAL path: sample every_n-th frame, bounded by
                     # n_frames and the stream length
