@@ -125,6 +125,68 @@ def image_features(df: DataFrame, grid: int = 4) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, FEATURE_SCHEMA)
 
 
+IMAGE_META_SCHEMA = ("image_id string, fmt_sniffed string, w int, h int, "
+                     "bit_depth int, channels int, header_ok boolean")
+
+
+def image_metadata_table(df: DataFrame) -> DataFrame:
+    """Header-only image metadata over (image_id, bytes): fmt,
+    dimensions, bit depth, channels from the first ~100 bytes — no
+    pixel decode (core/images.py sniff_image). Unrecognized or
+    truncated headers yield header_ok=false with null fields instead
+    of failing the batch: at 100 TB a corrupt row is a statistic, not
+    an abort. Pure per-row Arrow kernel — no shuffle."""
+    from ..core.images import sniff_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    m = sniff_image(bytes(buf))
+                    rows.append((mid, m["fmt"], m["w"], m["h"],
+                                 m["bit_depth"], m["channels"], True))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, False))
+            out = pd.DataFrame(rows, columns=[
+                "image_id", "fmt_sniffed", "w", "h", "bit_depth",
+                "channels", "header_ok"])
+            for c in ("w", "h", "bit_depth", "channels"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, schema=IMAGE_META_SCHEMA)
+
+
+def validate_image_headers(df: DataFrame) -> DataFrame:
+    """Cheap pre-decode validation for the input_hint catalog shape
+    (image_id, bytes, w, h, fmt, …): sniff each payload's header and
+    flag rows whose container disagrees with the catalog columns.
+
+    Returns the input plus `meta_ok` — header parsed AND sniffed
+    (fmt, w, h) match the claimed columns. The at-scale contract:
+    filter on meta_ok BEFORE the full-decode PSNR stage so mislabeled
+    or truncated payloads cost ~100 header bytes, not a decode. The
+    broadcast-free plan is a single narrow mapInPandas + join on
+    image_id (co-partitioned, no extra shuffle when the input is
+    already hash-distributed by image_id)."""
+    meta = image_metadata_table(df)
+    return (
+        df.join(meta.select(
+            "image_id", "fmt_sniffed",
+            F.col("w").alias("w_sniffed"), F.col("h").alias("h_sniffed"),
+            "header_ok"), on="image_id", how="left")
+        .withColumn(
+            "meta_ok",
+            F.coalesce(F.col("header_ok"), F.lit(False))
+            & (F.col("fmt_sniffed") == F.col("fmt"))
+            & (F.col("w_sniffed") == F.col("w"))
+            & (F.col("h_sniffed") == F.col("h")))
+        .drop("fmt_sniffed", "w_sniffed", "h_sniffed", "header_ok")
+    )
+
+
 def decode_audio(buf: bytes, fmt: str, allow_fake: bool = False) -> np.ndarray:
     """WAV: REAL stdlib PCM decode; g711u: REAL ITU-T G.711 µ-law
     compressed decode (both core/audio.py). Other compressed formats
