@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from azuresearchcrawlervector_spark.operators.dedup import (
         duplicate_clusters, duplicate_clusters_star, embedding_neardup_lsh,
-        exact_dedup,
+        exact_dedup, hamming_pairs,
         minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
     )
     from azuresearchcrawlervector_spark.operators.similarity import (
@@ -273,6 +273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return simhash64(d, token_hash="md5_60").orderBy("doc_id")
 
+    def q_hamming_pairs(spark, sf):
+        # pigeonhole block-bucket candidate generation over a 64-bit
+        # hash column (here: md5_60 simhash signatures; same operator
+        # serves image phash near-dup on the crawl catalog) — the
+        # oracle does the equivalent brute-force self-join
+        d = spark.read.parquet(_t(sf, "documents"))
+        sh = simhash64(d, token_hash="md5_60")
+        return (hamming_pairs(sh, "simhash", max_hamming=3)
+                .orderBy("id_a", "id_b"))
+
     def q_ann_lsh(spark, sf):
         # seeded hyperplanes are deterministic literals — the oracle
         # inlines the same planes and probes hamming(bucket, qbucket) <= 2
@@ -358,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_lsh_dups": q_minhash_lsh,
         "simhash64": q_simhash,
+        "hamming_pairs": q_hamming_pairs,
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
         "ann_topk_lsh_partitioned": q_ann_lsh_part,
@@ -746,6 +757,30 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM agg GROUP BY doc_id ORDER BY doc_id
+        """,
+        "hamming_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents),
+            hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM toks WHERE tok <> ''),
+            bits AS (
+              SELECT doc_id, i.g AS bit,
+                     CASE WHEN (h >> i.g) & 1 = 1 THEN 1 ELSE -1 END AS sign
+              FROM hashed, (SELECT unnest(generate_series(0, 59)) AS g) i),
+            agg AS (SELECT doc_id, bit, sum(sign) AS s FROM bits GROUP BY 1, 2),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                                   ELSE 0 END) AS BIGINT) AS simhash
+              FROM agg GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
         """,
         "token_counts": r"""
             SELECT doc_id,

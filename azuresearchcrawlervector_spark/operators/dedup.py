@@ -402,9 +402,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def hamming_pairs(hashes: DataFrame, hash_col: str, id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming, candidate-
+    """Pairs with hamming distance ≤ max_hamming over ANY int64 hash
+    column — simhash signatures, image perceptual hashes (the
+    input_hint catalog's `phash`), rolling fingerprints — candidate-
     generated by (max_hamming + 1) block buckets over the 64 bits.
 
     Pigeonhole: ≤ max_hamming differing bits spread over max_hamming + 1
@@ -413,28 +415,28 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     configured radius. Block widths shrink as the radius grows (64 /
     (r+1) bits), so buckets get hotter; radii above 7 (blocks narrower
     than 8 bits) are rejected — use MinHash-LSH for looser matching.
+    Equi-joins only: candidate generation never goes all-pairs.
     """
     if not 0 <= max_hamming <= 7:
-        raise ValueError("simhash_pairs supports max_hamming in [0, 7]; "
+        raise ValueError("hamming_pairs supports max_hamming in [0, 7]; "
                          "wider radii need a different candidate scheme")
     n_blocks = max_hamming + 1
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
     offs = [sum(widths[:i]) for i in range(n_blocks)]
     block_exprs = [
-        F.expr(f"(simhash >> {o}) & {(1 << w) - 1}")
+        F.expr(f"(`{hash_col}` >> {o}) & {(1 << w) - 1}")
         for o, w in zip(offs, widths)
     ]
-    sh = simhash64(df, text_col, id_col).persist()
-    blocks = sh.select(
-        "doc_id", "simhash",
+    blocks = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h64"),
         F.posexplode(F.array(*block_exprs)).alias("block", "block_val"),
     )
     cand = (
         blocks.alias("x").join(blocks.alias("y"), on=["block", "block_val"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"),
-                F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"))
+                F.col("x.h64").alias("ha"), F.col("y.h64").alias("hb"))
         .distinct()
     )
     return (
@@ -442,6 +444,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming — simhash64
+    signatures fed through the generic pigeonhole hamming_pairs.
+    Signatures are persisted because both sides of the candidate
+    self-join consume them (recompute = re-tokenizing the corpus)."""
+    sh = simhash64(df, text_col, id_col).persist()
+    return hamming_pairs(sh, "simhash", "doc_id", max_hamming)
 
 
 # --------------------------------------------------- duplicate clustering
