@@ -170,8 +170,8 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> tuple[dict, dict]:
 # cross-check and would dominate the 10x run for no signal (VERDICT #8)
 SF1_SUITE = [
     "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash64",
-    "emb_neardup_lsh", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
-    "dedup_clusters_star",
+    "hamming_pairs", "emb_neardup_lsh", "ann_topk", "ann_topk_lsh",
+    "ann_topk_ivf", "dedup_clusters_star",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -426,8 +426,8 @@ def main():
     headline = [
         "lineitem_agg", "top_orders", "region_revenue", "budget_window",
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
-        "simhash64", "emb_neardup", "emb_neardup_lsh", "ann_topk",
-        "ann_topk_ivf",
+        "simhash64", "hamming_pairs", "emb_neardup", "emb_neardup_lsh",
+        "ann_topk", "ann_topk_ivf",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)
