@@ -172,6 +172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("hour", "event_type")
         )
 
+    def q_session_stats(spark, sf):
+        # gap-based sessionization: one shuffle (the groupBy reuses the
+        # Window's user partitioning)
+        from azuresearchcrawlervector_spark.operators.sessions import (
+            session_stats)
+        e = spark.read.parquet(_t(sf, "events"))
+        return (session_stats(e, gap_s=30_000)
+                .orderBy("user_id", "session_seq"))
+
     def q_group_counts(spark, sf):
         # metrics-table shape: grouped counters
         d = spark.read.parquet(_t(sf, "documents"))
@@ -353,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_ids": q_sha_ids,
         "whitespace_cleanup": q_whitespace_cleanup,
         "event_window_counts": q_event_window_counts,
+        "session_stats": q_session_stats,
         "group_counts": q_group_counts,
         "embedding_dims": q_embedding_dims,
         "dedup_exact": q_dedup_exact,
@@ -660,6 +670,28 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                             > 30000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged)
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "group_counts": """
             SELECT lang, source, count(*) AS n FROM documents
