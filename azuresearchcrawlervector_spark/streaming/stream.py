@@ -221,3 +221,73 @@ def index_single_document(
     )
     df.write.mode("append").parquet(output_dir)
     return df
+
+
+def with_streaming_sessions(stream_df: DataFrame, gap_s: int = 30_000,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    gap-based sessionization that persists ACROSS micro-batches — the
+    streaming twin of operators/sessions.session_stats.
+
+    A session row is emitted when it is provably CLOSED: a later event
+    for the same user arrives more than gap_s seconds after it. The
+    open tail session lives in state (one small tuple per user) and is
+    emitted by a later batch or stays pending — append-mode semantics,
+    same contract as Spark's own session windows. Input files must
+    arrive in event-time order per user (the availableNow test harness
+    does; a production deployment puts a watermark upstream so
+    off-order arrivals within the watermark are sorted per batch — the
+    in-batch sort here — and older ones are dropped by the watermark).
+
+    Scale: state = one 5-field tuple per distinct user, hash-partitioned
+    by the groupBy key across executors' state stores; output rows are
+    sessions, not events. Timestamps ride as epoch seconds (long) to
+    stay tz-agnostic in state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType as _D, LongType as _L, StructType as _S,
+    )
+
+    out_schema = ("user_id long, session_seq long, start_s long, "
+                  "end_s long, n_events long, sum_value double")
+    state_schema = _S([
+        StructField("session_seq", _L(), False),
+        StructField("start_s", _L(), False),
+        StructField("last_s", _L(), False),
+        StructField("n", _L(), False),
+        StructField("sv", _D(), False),
+    ])
+
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, "event_id"])
+            secs = (pdf[ts_col].astype("int64") // 1_000_000_000).tolist()
+            vals = pdf["value"].tolist()
+            for s, v in zip(secs, vals):
+                if cur is None:
+                    cur = [1, s, s, 0, 0.0]
+                elif s - cur[2] > gap_s:
+                    closed.append((uid, cur[0], cur[1], cur[2], cur[3], cur[4]))
+                    cur = [cur[0] + 1, s, s, 0, 0.0]
+                cur[2] = s
+                cur[3] += 1
+                cur[4] += v
+        if cur is not None:
+            state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_seq", "start_s", "end_s",
+                "n_events", "sum_value"])
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )

@@ -141,3 +141,55 @@ def test_index_single_document_raw_url_id(spark, tmp_path):
     assert len(rows[0]["title_vector"]) == 128
     deduped = read_documents_deduped(spark, out).collect()
     assert len(deduped) == 1 and deduped[0]["id"] == url
+
+
+def test_streaming_sessions_stateful(spark, tmp_path):
+    # applyInPandasWithState sessionization: sessions CLOSE across
+    # micro-batch boundaries and match the batch operator's closed set
+    from azuresearchcrawlervector_spark.operators.sessions import session_stats
+    from azuresearchcrawlervector_spark.streaming.stream import (
+        with_streaming_sessions,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    # user 1: sessions [0,10], [50000,50005], [120000] (gaps 49990, 69995)
+    # user 2: sessions [5, 40], [90000]
+    times = {1: [0, 10, 50000, 50005, 120000], 2: [5, 40, 90000]}
+    rows = sorted(
+        [(eid, base + datetime.timedelta(seconds=s), uid, float(uid))
+         for uid, ss in times.items()
+         for eid, s in enumerate(ss, start=uid * 100)],
+        key=lambda r: r[1])
+    inp = str(tmp_path / "sess_in")
+    for i, r in enumerate(rows):  # one file per event -> one batch each
+        spark.createDataFrame(
+            [r], "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(inp)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = str(tmp_path / "sess_out")
+    q = (with_streaming_sessions(stream, gap_s=30_000)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_seq"]):
+           (r["start_s"], r["end_s"], r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out).collect()}
+    # the batch operator on the same events, minus each user's OPEN
+    # (last) session, is exactly the streamed closed set
+    batch = session_stats(
+        spark.createDataFrame(rows, schema), gap_s=30_000)
+    last = {u: max(ss) for u, ss in
+            {u: [r["session_seq"] for r in batch.collect()
+                 if r["user_id"] == u] for u in times}.items()}
+    want = {(r["user_id"], r["session_seq"]):
+            (int(r["session_start"].timestamp()),
+             int(r["session_end"].timestamp()),
+             r["n_events"], r["sum_value"])
+            for r in batch.collect()
+            if r["session_seq"] != last[r["user_id"]]}
+    assert got == want
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
