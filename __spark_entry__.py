@@ -344,6 +344,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_crawl_flagship(spark, sf):
         return entry(spark).select("seq", "url", "depth", "id", "title")
 
+    def q_pagerank(spark, sf):
+        # PageRank over the flagship fixture's link graph (the crawl's
+        # frontier-prioritization signal); oracle = pure-python golden
+        # twin inlined as VALUES (same pattern as crawl_flagship)
+        from azuresearchcrawlervector_spark.operators.graph import pagerank
+        from azuresearchcrawlervector_spark.sources.fixtures import (
+            test_website)
+        g = test_website()
+        edges = [(u, g.root + href) for u, p in g.pages.items()
+                 for href, _ in p.links if g.root + href in g.pages]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return (pagerank(df, iters=20)
+                .select("node", F.round("rank", 6).alias("rank"))
+                .orderBy("node"))
+
     def q_minhash_lsh(spark, sf):
         # md5_60 hash mode — every step (md5 shingle hash, mod-2^61-1
         # permutations, md5 band buckets) reproducible in DuckDB; the
@@ -363,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_cleanup": q_whitespace_cleanup,
         "event_window_counts": q_event_window_counts,
         "session_stats": q_session_stats,
+        "pagerank": q_pagerank,
         "group_counts": q_group_counts,
         "embedding_dims": q_embedding_dims,
         "dedup_exact": q_dedup_exact,
@@ -535,6 +551,29 @@ def _crawl_flagship_oracle_sql() -> str:
                id, title
         FROM (VALUES {rows}) AS t(seq, url, depth, id, title)
         ORDER BY seq
+    """
+
+
+def _pagerank_oracle_sql() -> str:
+    """Golden-values oracle for pagerank over the fixture link graph:
+    the pure-python twin (operators/graph.py::pagerank_local, same
+    distinct-edge/self-loop/dangling semantics) inlined as VALUES,
+    both sides rounded to 6 dp — double-precision disagreement between
+    the two summation orders is ~1e-15, far below the rounding grain."""
+    from azuresearchcrawlervector_spark.operators.graph import pagerank_local
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+
+    g = test_website()
+    edges = [(u, g.root + href) for u, p in g.pages.items()
+             for href, _ in p.links if g.root + href in g.pages]
+    ranks = pagerank_local(edges, iters=20)
+    rows = ", ".join(
+        f"('{node}', {round(r, 6):.6f})"
+        for node, r in sorted(ranks.items()))
+    return f"""
+        SELECT node, CAST(rank AS DOUBLE) AS rank
+        FROM (VALUES {rows}) AS t(node, rank)
+        ORDER BY node
     """
 
 
@@ -871,6 +910,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "crawl_flagship": _crawl_flagship_oracle_sql(),
         "minhash_lsh_dups": _minhash_lsh_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
     }
 
 

@@ -1,0 +1,92 @@
+"""Link-graph analytics over the crawl's discovered edges — PageRank,
+the canonical frontier-prioritization signal (crawl high-rank pages
+first; the reference crawler has no ranking concept, its queue is
+FIFO — AbotCrawler.cs — so this is part of the beyond-reference
+pipeline family).
+
+Scale shape (same discipline as the star-CC loop in operators/dedup.py):
+- every step is an equi-join or groupBy on the node id — candidates
+  never go all-pairs and rank state is one row per node,
+- each round's ranks are EAGERLY localCheckpoint-ed so Catalyst
+  analysis stays O(1) per round instead of growing with the unrolled
+  loop (executor loss therefore fails the job and needs a caller-level
+  retry — same documented trade as the CC loop),
+- the only driver-side values are O(1) scalars per round: the node
+  count (once) and the dangling-rank mass (one aggregated row), like
+  the CC convergence probe.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, iters: int = 20, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, rank) after `iters` power iterations with uniform
+    teleport and dangling-mass redistribution. Ranks sum to 1 every
+    round (a test pins it), so the result is the stationary
+    distribution estimate, not an unnormalized score.
+
+    Duplicate edges are counted once (distinct) — rank flows along the
+    link structure, not link multiplicity."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass: nodes with no out-edges leak their rank; it is
+        # redistributed uniformly (one O(1) scalar to the driver)
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce(F.col("contrib"),
+                                                   F.lit(0.0))).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_local(edges: list[tuple], iters: int = 20,
+                   damping: float = 0.85) -> dict:
+    """Pure-python golden twin of `pagerank` for oracle/test use —
+    same semantics (distinct edges, no self-loops, dangling
+    redistribution), no Spark."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in e:
+            contrib[d] += ranks[s] / out[s]
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = {v: base + damping * contrib[v] for v in nodes}
+    return ranks

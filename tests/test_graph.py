@@ -1,0 +1,61 @@
+"""PageRank (operators/graph.py): golden parity, invariants, scale
+shape."""
+import pytest
+from pyspark.sql import functions as F
+
+from azuresearchcrawlervector_spark.operators.graph import (
+    pagerank, pagerank_local)
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_matches_local_golden(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    got = _run(spark, edges, iters=15)
+    want = pagerank_local(edges, iters=15)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_ranks_sum_to_one_with_dangling(spark):
+    # 'sink' has no out-edges: its mass must be redistributed, keeping
+    # the distribution normalized
+    edges = [("a", "sink"), ("b", "sink"), ("a", "b")]
+    got = _run(spark, edges, iters=25)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["sink"] == max(got.values())
+
+
+def test_duplicate_edges_and_self_loops_ignored(spark):
+    base = [("a", "b"), ("b", "a")]
+    noisy = base + [("a", "b")] * 5 + [("a", "a")]
+    assert _run(spark, noisy) == pytest.approx(_run(spark, base))
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = _run(spark, edges, iters=30)
+    for v in got.values():
+        assert v == pytest.approx(1.0 / 3, abs=1e-9)
+
+
+def test_fixture_site_ranks(spark):
+    # the flagship fixture's link graph: blog posts cross-link, so
+    # product1 (linked from every post) outranks leaf products
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    g = test_website()
+    edges = [(u, g.root + href) for u, p in g.pages.items()
+             for href, _ in p.links if g.root + href in g.pages]
+    got = _run(spark, edges, iters=20)
+    want = pagerank_local(edges, iters=20)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # every page carries the global nav -> a nav target dominates
+    assert max(got, key=got.get).startswith(g.root)
+    nav = {g.root + p for p in
+           ("/", "/about.html", "/blog/", "/products/", "/contact.html")}
+    assert max(got, key=got.get) in nav
