@@ -90,3 +90,31 @@ def pagerank_local(edges: list[tuple], iters: int = 20,
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = {v: base + damping * contrib[v] for v in nodes}
     return ranks
+
+
+def rank_priorities(frontier_log: DataFrame, iters: int = 20,
+                    damping: float = 0.85) -> DataFrame:
+    """Recrawl priorities from a finished crawl's own frontier_log:
+    PageRank over the discovered (parent_url → url) edges, emitted as
+    (url, rank, priority) with priority = zero-padded rank order — the
+    same lexicographic-priority contract the engine's frontier uses
+    (plans/crawl.py PENDING_SCHEMA), so a rank-guided recrawl is just
+    seeding pending from this table instead of depth|path.
+
+    The reference crawler has no ranking: its queue is FIFO. This is
+    the at-scale recrawl policy a 10^10 frontier wants — fetch budget
+    goes to high-centrality pages first.
+
+    The priority string is derived PER ROW from the rank value
+    (fixed-point of 1 - rank, so lexicographic ascending = rank
+    descending) — no global sort/row_number, which would be a
+    single-partition window at frontier scale."""
+    edges = (frontier_log
+             .filter(F.col("parent_url").isNotNull())
+             .select(F.col("parent_url").alias("src"),
+                     F.col("url").alias("dst")))
+    ranks = pagerank(edges, iters=iters, damping=damping)
+    return (ranks
+            .withColumn("priority",
+                        F.format_string("%.12f", F.lit(1.0) - F.col("rank")))
+            .select(F.col("node").alias("url"), "rank", "priority"))

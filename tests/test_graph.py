@@ -59,3 +59,27 @@ def test_fixture_site_ranks(spark):
     nav = {g.root + p for p in
            ("/", "/about.html", "/blog/", "/products/", "/contact.html")}
     assert max(got, key=got.get) in nav
+
+
+def test_rank_priorities_from_crawl_log(spark, tmp_ckpt):
+    # end-to-end: crawl the fixture site, rank its own frontier_log,
+    # check the priority contract (lexicographic asc == rank desc)
+    from azuresearchcrawlervector_spark.config import CrawlConfig, CrawlMode
+    from azuresearchcrawlervector_spark.operators.graph import rank_priorities
+    from azuresearchcrawlervector_spark.plans.crawl import CrawlEngine
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    from azuresearchcrawlervector_spark.sources.synthetic import pages_df
+
+    g = test_website()
+    cfg = CrawlConfig(root_url=g.root, mode=CrawlMode.STANDARD)
+    eng = CrawlEngine(spark, pages_df(spark, g), cfg, tmp_ckpt,
+                      validate_images=False)
+    res = eng.run()
+    log = res.frontier_log(spark)
+    pr = rank_priorities(log, iters=10).collect()
+    assert len(pr) > 5
+    by_prio = sorted(pr, key=lambda r: (r["priority"], r["url"]))
+    ranks = [r["rank"] for r in by_prio]
+    assert ranks == sorted(ranks, reverse=True)
+    urls = {r["url"] for r in pr}
+    assert g.root + "/" in urls or g.root in urls
