@@ -171,7 +171,7 @@ def crawl_bench(spark, n_urls: int, n_hosts: int) -> tuple[dict, dict]:
 SF1_SUITE = [
     "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash64",
     "hamming_pairs", "emb_neardup_lsh", "ann_topk", "ann_topk_lsh",
-    "ann_topk_ivf", "dedup_clusters_star",
+    "ann_topk_ivf", "dedup_clusters_star", "session_stats",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -197,6 +197,18 @@ def make_sf10_tables(spark, sf_dir: str, out_dir: str) -> None:
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (
+        # 10x events by user replication: per-user sequences (and thus
+        # sessions) are identical per replica, so session workloads
+        # grow exactly linearly
+        ev.crossJoin(reps)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * F.lit(_REP_OFF))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(_REP_OFF))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     (
@@ -427,7 +439,7 @@ def main():
         "lineitem_agg", "top_orders", "region_revenue", "budget_window",
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
         "simhash64", "hamming_pairs", "emb_neardup", "emb_neardup_lsh",
-        "ann_topk", "ann_topk_ivf",
+        "ann_topk", "ann_topk_ivf", "session_stats",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)
