@@ -288,7 +288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serves image phash near-dup on the crawl catalog) — the
         # oracle does the equivalent brute-force self-join
         d = spark.read.parquet(_t(sf, "documents"))
-        sh = simhash64(d, token_hash="md5_60")
+        # persist: both sides of the candidate self-join consume the
+        # signatures (same reason simhash_pairs persists)
+        sh = simhash64(d, token_hash="md5_60").persist()
         return (hamming_pairs(sh, "simhash", max_hamming=3)
                 .orderBy("id_a", "id_b"))
 
@@ -350,11 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin inlined as VALUES (same pattern as crawl_flagship)
         from azuresearchcrawlervector_spark.operators.graph import pagerank
         from azuresearchcrawlervector_spark.sources.fixtures import (
-            test_website)
-        g = test_website()
-        edges = [(u, g.root + href) for u, p in g.pages.items()
-                 for href, _ in p.links if g.root + href in g.pages]
-        df = spark.createDataFrame(edges, "src string, dst string")
+            link_edges, test_website)
+        df = spark.createDataFrame(link_edges(test_website()),
+                                   "src string, dst string")
         return (pagerank(df, iters=20)
                 .select("node", F.round("rank", 6).alias("rank"))
                 .orderBy("node"))
@@ -561,12 +561,10 @@ def _pagerank_oracle_sql() -> str:
     both sides rounded to 6 dp — double-precision disagreement between
     the two summation orders is ~1e-15, far below the rounding grain."""
     from azuresearchcrawlervector_spark.operators.graph import pagerank_local
-    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    from azuresearchcrawlervector_spark.sources.fixtures import (
+        link_edges, test_website)
 
-    g = test_website()
-    edges = [(u, g.root + href) for u, p in g.pages.items()
-             for href, _ in p.links if g.root + href in g.pages]
-    ranks = pagerank_local(edges, iters=20)
+    ranks = pagerank_local(link_edges(test_website()), iters=20)
     rows = ", ".join(
         f"('{node}', {round(r, 6):.6f})"
         for node, r in sorted(ranks.items()))

@@ -377,6 +377,8 @@ def _walk(data: bytes):
             yield ("ext", body_at, label)
             continue
         if b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("gif: image descriptor truncated")
             yield ("frame", pos, None)
             _x, _y, fw, fh, flags = struct.unpack(
                 "<HHHHB", data[pos + 1 : pos + 10])
@@ -392,6 +394,8 @@ def _walk(data: bytes):
 
 def _decode_frame_at(data: bytes, pos: int, gct: np.ndarray | None,
                      canvas_w: int, canvas_h: int) -> np.ndarray:
+    if pos + 10 > len(data):
+        raise ValueError("gif: image descriptor truncated")
     x, y, fw, fh, flags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
     pos += 10
     table = gct
@@ -428,16 +432,31 @@ def gif_decode(data: bytes) -> np.ndarray:
 def gif_frame(data: bytes, frame_idx: int) -> np.ndarray:
     """Decode ONLY frame `frame_idx`: the block walk skips other
     frames' sub-blocks without LZW-decompressing them (intra-only)."""
+    return gif_frames(data, [frame_idx])[0]
+
+
+def gif_frames(data: bytes, frame_indices: list[int]) -> list[np.ndarray]:
+    """Decode a set of frames in ONE container walk — only the wanted
+    frames are LZW-decompressed; everything else is skipped at the
+    sub-block level. Results follow frame_indices order."""
     data = bytes(data)
     w, h, gct, _pos = _parse_header(data)
+    want = set(frame_indices)
+    decoded: dict[int, np.ndarray] = {}
     k = 0
     for kind, pos, _ in _walk(data):
         if kind != "frame":
             continue
-        if k == frame_idx:
-            return _decode_frame_at(data, pos, gct, w, h)
+        if k in want:
+            decoded[k] = _decode_frame_at(data, pos, gct, w, h)
+            if len(decoded) == len(want):
+                break
         k += 1
-    raise ValueError(f"gif: frame {frame_idx} out of range ({k} frames)")
+    missing = sorted(want - set(decoded))
+    if missing:
+        raise ValueError(
+            f"gif: frame {missing[0]} out of range ({k} frames)")
+    return [decoded[i] for i in frame_indices]
 
 
 def gif_parse(data: bytes) -> dict:

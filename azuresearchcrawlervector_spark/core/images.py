@@ -192,12 +192,17 @@ def sniff_image(data: bytes) -> dict:
         return {"fmt": "gif", "w": w, "h": h, "bit_depth": 8,
                 "channels": 3}
     if data[:2] == b"\xff\xd8":
-        # walk marker segments to the frame header (SOF0/1/2)
+        # walk marker segments to the frame header (SOF0/1/2); spec
+        # allows 0xFF fill bytes between segments and length-less
+        # standalone markers (TEM, RSTn)
         pos = 2
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("jpeg: bad marker sync")
             marker = data[pos + 1]
+            if marker == 0xFF:       # fill byte — marker continues
+                pos += 1
+                continue
             if marker in (0xC0, 0xC1, 0xC2):
                 if pos + 10 > len(data):
                     raise ValueError("jpeg: truncated SOF")
@@ -207,7 +212,12 @@ def sniff_image(data: bytes) -> dict:
                         "bit_depth": depth, "channels": ncomp}
             if marker == 0xD9 or marker == 0xDA:
                 break  # EOI / entropy stream before any SOF
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2             # standalone marker, no length
+                continue
             (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if seglen < 2:
+                raise ValueError("jpeg: bad segment length")
             pos += 2 + seglen
         raise ValueError("jpeg: no frame header found")
     raise ValueError("unrecognized image container")

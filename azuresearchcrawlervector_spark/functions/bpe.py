@@ -146,7 +146,9 @@ def bpe_encode_table(df: DataFrame, merges: list[tuple[str, str]],
             ids, counts, toks = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 doc_tokens: list[str] = []
-                for w in str(text).lower().split():
+                # NULL text -> 0 tokens (str(None) would tokenize the
+                # literal word 'none'), matching train_bpe's split
+                for w in ("" if text is None else str(text)).lower().split():
                     enc = cache.get(w)
                     if enc is None:
                         enc = encode_word(w, ranks)

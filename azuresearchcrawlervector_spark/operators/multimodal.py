@@ -136,6 +136,8 @@ def image_metadata_table(df: DataFrame) -> DataFrame:
     truncated headers yield header_ok=false with null fields instead
     of failing the batch: at 100 TB a corrupt row is a statistic, not
     an abort. Pure per-row Arrow kernel — no shuffle."""
+    import struct
+
     from ..core.images import sniff_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,10 +145,12 @@ def image_metadata_table(df: DataFrame) -> DataFrame:
             rows = []
             for mid, buf in zip(pdf["image_id"], pdf["bytes"]):
                 try:
+                    if buf is None:
+                        raise ValueError("null payload")
                     m = sniff_image(bytes(buf))
                     rows.append((mid, m["fmt"], m["w"], m["h"],
                                  m["bit_depth"], m["channels"], True))
-                except ValueError:
+                except (ValueError, struct.error):
                     rows.append((mid, None, None, None, None, None, False))
             out = pd.DataFrame(rows, columns=[
                 "image_id", "fmt_sniffed", "w", "h", "bit_depth",
@@ -366,7 +370,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
     are all real); raises NotImplementedError otherwise.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..core.gif import gif_frame, gif_parse, is_gif
+        from ..core.gif import gif_frames, gif_parse, is_gif
         from ..core.images import png_encode
         from ..core.mkv import is_mkv, mkv_parse, mkv_sample_bytes
         from ..core.mp4 import is_mp4, mp4_parse, mp4_sample_bytes
@@ -378,16 +382,16 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames: int = 3,
                 data = bytes(buf)
                 if is_gif(data):
                     # animated GIF: frames are independently LZW-coded
-                    # (intra-only, like MJPEG) — gif_frame skips the
-                    # non-sampled frames' sub-blocks without
-                    # decompressing them (core/gif.py)
+                    # (intra-only, like MJPEG) — ONE walk for metadata,
+                    # one for the sampled set; non-sampled frames'
+                    # sub-blocks are skipped, never decompressed
                     total = gif_parse(data)["n_frames"]
                     want = [fi * every_n for fi in range(n_frames)
                             if fi * every_n < total]
-                    for fi in want:
+                    for fi, px in zip(want, gif_frames(data, want)):
                         ids.append(mid)
                         idxs.append(fi)
-                        frames.append(png_encode(gif_frame(data, fi)))
+                        frames.append(png_encode(px))
                     continue
                 if is_avi(data):
                     # REAL path: sample every_n-th frame, bounded by

@@ -33,8 +33,11 @@ def sessionize(events: DataFrame, gap_s: int = 30_000,
     gap since the previous event exceeds gap_s seconds."""
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     # parquet event times are TIMESTAMP_NTZ, which has no direct long
-    # cast; the timestamp hop only matters up to a constant tz offset
-    # that cancels in the gap difference
+    # cast; the timestamp hop interprets them in the SESSION timezone,
+    # so gaps are exact when that zone has a fixed offset (the repo's
+    # session builder pins UTC). A DST-observing session zone would
+    # shift gaps spanning a transition by the DST hour — callers with
+    # such a config should set spark.sql.session.timeZone=UTC.
     ts_s = F.col(ts_col).cast("timestamp").cast("long")
     gap = ts_s - F.lag(ts_s).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)

@@ -108,6 +108,15 @@ def _page(site: SiteGraph, path: str, title: str, text: str,
                       status=status, image_id=image_id_for(url)))
 
 
+def link_edges(g: SiteGraph) -> list[tuple[str, str]]:
+    """The graph's internal link edges as (src_url, dst_url) — the ONE
+    definition shared by the pagerank query, its VALUES oracle, and
+    tests, so edge semantics cannot silently diverge between them.
+    External links (targets not in the graph) are excluded."""
+    return [(u, g.root + href) for u, p in g.pages.items()
+            for href, _ in p.links if g.root + href in g.pages]
+
+
 def test_website() -> SiteGraph:
     """TestWebsite: 17 pages, global nav, blog w/ selector div.blog-content
     (FIXTURES.md §7; reference IntegrationTests/TestWebsite/wwwroot/)."""

@@ -225,7 +225,9 @@ def index_single_document(
 
 def with_streaming_sessions(stream_df: DataFrame, gap_s: int = 30_000,
                             user_col: str = "user_id",
-                            ts_col: str = "ts") -> DataFrame:
+                            ts_col: str = "ts",
+                            order_col: str = "event_id",
+                            value_col: str = "value") -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     gap-based sessionization that persists ACROSS micro-batches — the
     streaming twin of operators/sessions.session_stats.
@@ -266,10 +268,17 @@ def with_streaming_sessions(stream_df: DataFrame, gap_s: int = 30_000,
         (uid,) = key
         cur = list(state.get) if state.exists else None
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, "event_id"])
+        # pdfs is an iterator of ARROW CHUNKS with no cross-chunk order
+        # guarantee — a group larger than maxRecordsPerBatch would be
+        # sessionized out of order if chunks were sorted independently.
+        # Concatenate then sort once; memory = one group's micro-batch
+        # rows, the same bound applyInPandas itself implies.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values([ts_col, order_col])
             secs = (pdf[ts_col].astype("int64") // 1_000_000_000).tolist()
-            vals = pdf["value"].tolist()
+            vals = pdf[value_col].tolist()
             for s, v in zip(secs, vals):
                 if cur is None:
                     cur = [1, s, s, 0, 0.0]

@@ -133,3 +133,12 @@ def test_hamming_pairs_over_image_phash(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert (1, 2) in pairs          # one-pixel tweak: near-identical
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_null_text_yields_zero_tokens(spark):
+    df = spark.createDataFrame([(1, "the cat"), (2, None)],
+                               "doc_id long, text string")
+    merges = train_bpe(df.filter("text is not null"), vocab_size=20)
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode_table(df, merges).collect()}
+    assert out[2] == 0 and out[1] > 0

@@ -130,3 +130,27 @@ def test_sample_frames_gif(spark):
     assert sorted(got) == [0, 5, 10]
     for fi, png in got.items():
         assert np.array_equal(png_decode(png), frames[fi])
+
+
+def test_truncated_image_descriptor_raises_valueerror():
+    px = _few_color(16, 16, 4)
+    data = gif.gif_encode(px)
+    # cut inside the image descriptor (0x2C + 9 bytes)
+    cut = data.index(b"\x2c", 13)
+    with pytest.raises(ValueError, match="truncated"):
+        gif.gif_parse(data[: cut + 4])
+    with pytest.raises(ValueError, match="truncated"):
+        gif.gif_decode(data[: cut + 4])
+
+
+def test_gif_frames_single_walk(monkeypatch):
+    frames = [_few_color(8, 8, 4, seed=s) for s in range(6)]
+    data = gif.gif_encode_anim(frames)
+    walks = []
+    orig = gif._walk
+    monkeypatch.setattr(gif, "_walk",
+                        lambda d: walks.append(1) or orig(d))
+    out = gif.gif_frames(data, [0, 2, 4])
+    assert len(walks) == 1           # one container traversal
+    for fi, px in zip([0, 2, 4], out):
+        assert np.array_equal(px, frames[fi])

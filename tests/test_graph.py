@@ -46,10 +46,10 @@ def test_symmetric_cycle_is_uniform(spark):
 def test_fixture_site_ranks(spark):
     # the flagship fixture's link graph: blog posts cross-link, so
     # product1 (linked from every post) outranks leaf products
-    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    from azuresearchcrawlervector_spark.sources.fixtures import (
+        link_edges, test_website)
     g = test_website()
-    edges = [(u, g.root + href) for u, p in g.pages.items()
-             for href, _ in p.links if g.root + href in g.pages]
+    edges = link_edges(g)
     got = _run(spark, edges, iters=20)
     want = pagerank_local(edges, iters=20)
     for v in got:

@@ -76,3 +76,26 @@ def test_validate_image_headers(spark):
     got = {r["image_id"]: r["meta_ok"] for r in out.collect()}
     assert got == {"ok": True, "wrong_dims": False,
                    "wrong_fmt": False, "corrupt": False}
+
+
+def test_null_bytes_row_is_statistic_not_abort(spark):
+    from azuresearchcrawlervector_spark.operators.multimodal import (
+        image_metadata_table)
+    px = generate_pixels("n1", 8, 8)
+    df = _catalog(spark, [
+        ("good", bytearray(encode(px, "png")), 8, 8, "png"),
+        ("nullrow", None, 8, 8, "png"),
+    ])
+    got = {r["image_id"]: r["header_ok"]
+           for r in image_metadata_table(df).collect()}
+    assert got == {"good": True, "nullrow": False}
+
+
+def test_jpeg_sniff_tolerates_fill_bytes_and_rst():
+    # spec-legal 0xFF fill padding between segments must not derail
+    # the marker walk
+    jp = encode(generate_pixels("f", 16, 16), "jpeg")
+    assert jp[2] == 0xFF
+    padded = jp[:2] + b"\xff\xff" + jp[2:]
+    m = sniff_image(padded)
+    assert (m["fmt"], m["w"], m["h"]) == ("jpeg", 16, 16)

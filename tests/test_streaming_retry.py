@@ -193,3 +193,40 @@ def test_streaming_sessions_stateful(spark, tmp_path):
             if r["session_seq"] != last[r["user_id"]]}
     assert got == want
     assert set(got) == {(1, 1), (1, 2), (2, 1)}
+
+
+def test_streaming_sessions_multichunk_group(spark, tmp_path):
+    # a group larger than arrow maxRecordsPerBatch arrives as MULTIPLE
+    # unordered chunks in one micro-batch — sessionization must sort
+    # across chunks, not per chunk
+    from azuresearchcrawlervector_spark.streaming.stream import (
+        with_streaming_sessions,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    secs = [0, 10, 20, 30, 40_000, 40_010, 40_020, 90_000, 90_005, 130_000]
+    rows = [(i, base + datetime.timedelta(seconds=s), 1, 1.0)
+            for i, s in enumerate(secs)]
+    import random
+    random.Random(3).shuffle(rows)     # unordered within the batch
+    inp = str(tmp_path / "mc_in")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        out = str(tmp_path / "mc_out")
+        q = (with_streaming_sessions(stream, gap_s=30_000)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r["session_seq"]: (r["start_s"], r["end_s"], r["n_events"])
+           for r in spark.read.parquet(out).collect()}
+    b = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # 3 closed sessions (the 130000 tail stays open in state)
+    assert got == {1: (b, b + 30, 4), 2: (b + 40_000, b + 40_020, 3),
+                   3: (b + 90_000, b + 90_005, 2)}
