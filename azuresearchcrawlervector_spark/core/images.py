@@ -138,6 +138,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         # lossless when <=256 distinct colors, else deterministic
         # median-cut quantization — lossy, PSNR-gated like jpeg
         return gif_encode(pixels)
+    if fmt == "tiff":
+        from .tiff import tiff_encode
+        return tiff_encode(pixels)  # lossless (LZW)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -157,6 +160,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "gif":
         from .gif import gif_decode
         return gif_decode(data)
+    if fmt == "tiff":
+        from .tiff import tiff_decode
+        return tiff_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -191,6 +197,12 @@ def sniff_image(data: bytes) -> dict:
         w, h = struct.unpack("<HH", data[6:10])
         return {"fmt": "gif", "w": w, "h": h, "bit_depth": 8,
                 "channels": 3}
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_parse
+        m = tiff_parse(data)   # IFD walk only — no strip data touched
+        return {"fmt": "tiff", "w": m["w"], "h": m["h"],
+                "bit_depth": m["bits_per_sample"],
+                "channels": m["channels"]}
     if data[:2] == b"\xff\xd8":
         # walk marker segments to the frame header (SOF0/1/2); spec
         # allows 0xFF fill bytes between segments and length-less
