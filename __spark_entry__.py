@@ -346,6 +346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_crawl_flagship(spark, sf):
         return entry(spark).select("seq", "url", "depth", "id", "title")
 
+    def q_curation(spark, sf):
+        # the composed training-data flow: dedup keepers -> quality
+        # gate -> language filter -> token stats, ONE declarative plan
+        from azuresearchcrawlervector_spark.operators.curation import (
+            curate_corpus)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return (curate_corpus(d, min_quality=0.5, langs=("en",))
+                .orderBy("doc_id"))
+
     def q_pagerank(spark, sf):
         # PageRank over the flagship fixture's link graph (the crawl's
         # frontier-prioritization signal); oracle = pure-python golden
@@ -379,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_counts": q_event_window_counts,
         "session_stats": q_session_stats,
         "pagerank": q_pagerank,
+        "curation": q_curation,
         "group_counts": q_group_counts,
         "embedding_dims": q_embedding_dims,
         "dedup_exact": q_dedup_exact,
@@ -883,6 +893,41 @@ def _oracle_sql_base() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        "curation": f"""
+            WITH keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY sha256(text)),
+            ratios AS (
+              SELECT doc_id, text,
+                round(len(regexp_extract_all(lower(text), '{stop_pat}'))
+                  / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stop_ratio,
+                round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM keepers)),
+            scored AS (
+              SELECT doc_id,
+                CASE WHEN {lang_best} = 0 THEN 'und'
+                     WHEN {lang_counts['en']} = {lang_best} THEN 'en'
+                     WHEN {lang_counts['de']} = {lang_best} THEN 'de'
+                     WHEN {lang_counts['fr']} = {lang_best} THEN 'fr'
+                     WHEN {lang_counts['es']} = {lang_best} THEN 'es'
+                END AS lang_pred,
+                round((
+                  least(length(text) / 500.0, 1.0)
+                  + CASE WHEN stop_ratio > 0.6 THEN 0.2
+                         WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.4 END
+                  + CASE WHEN punct_ratio > 0.2 THEN 0.3 ELSE 1.0 END
+                  ) / 3.0, 6) AS quality,
+                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords
+              FROM ratios)
+            SELECT doc_id, lang_pred, quality, n_tokens, n_subwords
+            FROM scored
+            WHERE quality >= 0.5 AND lang_pred = 'en'
+            ORDER BY doc_id
         """,
         "emb_neardup": f"""
             SELECT id_a, id_b, cosine FROM (
