@@ -141,6 +141,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "tiff":
         from .tiff import tiff_encode
         return tiff_encode(pixels)  # lossless (LZW)
+    if fmt == "bmp":
+        from .bmp import bmp_encode
+        return bmp_encode(pixels)   # lossless (24-bit BI_RGB)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -163,6 +166,9 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "tiff":
         from .tiff import tiff_decode
         return tiff_decode(data)
+    if fmt == "bmp":
+        from .bmp import bmp_decode
+        return bmp_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -203,6 +209,12 @@ def sniff_image(data: bytes) -> dict:
         return {"fmt": "tiff", "w": m["w"], "h": m["h"],
                 "bit_depth": m["bits_per_sample"],
                 "channels": m["channels"]}
+    if data[:2] == b"BM" and len(data) >= 54:
+        from .bmp import bmp_parse
+        m = bmp_parse(data)
+        return {"fmt": "bmp", "w": m["w"], "h": m["h"],
+                "bit_depth": min(m["bpp"], 8),
+                "channels": 3 if m["bpp"] == 24 else 1}
     if data[:2] == b"\xff\xd8":
         # walk marker segments to the frame header (SOF0/1/2); spec
         # allows 0xFF fill bytes between segments and length-less
