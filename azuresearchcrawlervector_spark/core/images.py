@@ -181,8 +181,9 @@ def sniff_image(data: bytes) -> dict:
     mislabeled rows are dropped before the expensive stage.
 
     Recognizes every format the repo can decode: PNG (IHDR), baseline
-    JPEG (marker walk to SOF0/1/2), GIF87a/89a, QPNG (sniffs the inner
-    PNG). Raises ValueError on anything else or on truncated headers.
+    JPEG (marker walk to SOF0/1/2), GIF87a/89a, TIFF (IFD walk, both
+    byte orders), BMP (DIB header), QPNG (sniffs the inner PNG).
+    Raises ValueError on anything else or on truncated headers.
     """
     data = bytes(data)
     if data[:4] == b"QPNG":

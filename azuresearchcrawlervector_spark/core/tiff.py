@@ -212,13 +212,19 @@ def tiff_encode(pixels: np.ndarray, compression: str = "lzw",
         return struct.pack("<HHII", tid, ttype, count, value)
 
     # layout: header(8) | strip data | [strip offset/count arrays] | IFD
+    # — each strip padded to EVEN length so every offset (strip starts,
+    # value arrays, the IFD) lands on a word boundary as TIFF 6.0
+    # requires; StripByteCounts record the TRUE unpadded lengths
     header_sz = 8
     data_off = header_sz
     strip_offsets = []
+    padded = []
     off = data_off
     for s in strips:
         strip_offsets.append(off)
-        off += len(s)
+        pad = s + (b"\x00" if len(s) & 1 else b"")
+        padded.append(pad)
+        off += len(pad)
     arrays = b""
     if n_strips > 1:
         off_arr_pos = off
@@ -228,7 +234,7 @@ def tiff_encode(pixels: np.ndarray, compression: str = "lzw",
         bits_pos = cnt_arr_pos + 4 * n_strips
     else:
         off_arr_pos = strip_offsets[0]
-        cnt_arr_pos = len(strips[0])
+        cnt_arr_pos = len(strips[0])    # true (unpadded) byte count
         bits_pos = off
     arrays += struct.pack("<HHH", 8, 8, 8)    # BitsPerSample triple
     ifd_off = bits_pos + 6
@@ -248,7 +254,7 @@ def tiff_encode(pixels: np.ndarray, compression: str = "lzw",
     tags.sort(key=lambda t: struct.unpack("<H", t[:2])[0])
     ifd = struct.pack("<H", len(tags)) + b"".join(tags) + b"\x00\x00\x00\x00"
     return (_II[:4] + struct.pack("<I", ifd_off)
-            + b"".join(strips) + arrays + ifd)
+            + b"".join(padded) + arrays + ifd)
 
 
 # ----------------------------------------------------------- decode
@@ -291,13 +297,23 @@ def _read_ifd(data: bytes):
     return bo, tags
 
 
+def _require(tags: dict, tid: int, name: str) -> list:
+    vals = tags.get(tid)
+    if not vals:
+        raise ValueError(f"tiff: missing required tag {name} ({tid})")
+    return vals
+
+
 def tiff_parse(data: bytes) -> dict:
-    """Header/IFD metadata without touching strip data."""
+    """Header/IFD metadata without touching strip data. Raises
+    ValueError (never KeyError) on malformed input — the contract
+    sniff_image and the metadata operators rely on."""
     data = bytes(data)
     bo, tags = _read_ifd(data)
     comp = tags.get(_COMP, [1])[0]
     return {
-        "w": tags[_W][0], "h": tags[_H][0],
+        "w": _require(tags, _W, "ImageWidth")[0],
+        "h": _require(tags, _H, "ImageLength")[0],
         "bits_per_sample": tags.get(_BITS, [8])[0],
         "channels": tags.get(_SPP, [1])[0],
         "compression": {1: "none", 5: "lzw", 32773: "packbits"}.get(
@@ -313,7 +329,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
     """TIFF bytes → HxWx3 uint8 (grayscale expanded to RGB)."""
     data = bytes(data)
     bo, tags = _read_ifd(data)
-    w, h = tags[_W][0], tags[_H][0]
+    w = _require(tags, _W, "ImageWidth")[0]
+    h = _require(tags, _H, "ImageLength")[0]
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])
     if any(b != 8 for b in bits[:spp]):
@@ -329,8 +346,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
     pred = tags.get(_PRED, [1])[0]
     if pred not in (1, 2):
         raise ValueError(f"tiff: unsupported predictor {pred}")
-    offsets = tags[_STRIP_OFF]
-    counts = tags[_STRIP_CNT]
+    offsets = _require(tags, _STRIP_OFF, "StripOffsets")
+    counts = _require(tags, _STRIP_CNT, "StripByteCounts")
     rps = tags.get(_ROWS_PER_STRIP, [h])[0]
     rows = []
     for k, (soff, scnt) in enumerate(zip(offsets, counts)):

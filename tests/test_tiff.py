@@ -120,3 +120,27 @@ def test_images_dispatch_and_sniff():
     assert np.array_equal(decode(data, "tiff"), px)   # lossless
     m = sniff_image(data)
     assert (m["fmt"], m["w"], m["h"], m["channels"]) == ("tiff", 48, 32, 3)
+
+
+def test_missing_required_tags_raise_valueerror():
+    # valid magic, empty IFD — must be ValueError, never KeyError
+    hostile = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0) + b"\x00" * 4
+    with pytest.raises(ValueError, match="missing required tag"):
+        tiff.tiff_parse(hostile)
+    with pytest.raises(ValueError, match="missing required tag"):
+        tiff.tiff_decode(hostile)
+    from azuresearchcrawlervector_spark.core.images import sniff_image
+    with pytest.raises(ValueError):
+        sniff_image(hostile)
+
+
+def test_word_alignment_of_offsets():
+    # odd-sized strips must not push value arrays / IFD to odd offsets
+    px = generate_pixels("tiff-align", 1, 1)    # 3-byte strip
+    for comp in ("none", "lzw", "packbits"):
+        data = tiff.tiff_encode(px, compression=comp)
+        (ifd_off,) = struct.unpack("<I", data[4:8])
+        assert ifd_off % 2 == 0
+        meta = tiff.tiff_parse(data)
+        assert np.array_equal(tiff.tiff_decode(data), px)
+        assert meta["w"] == 1
