@@ -355,6 +355,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (curate_corpus(d, min_quality=0.5, langs=("en",))
                 .orderBy("doc_id"))
 
+    def q_recrawl_delta(spark, sf):
+        # incremental recrawl: classify urls vs the previous snapshot
+        # by content fingerprint; "cur" is a deterministic mutation of
+        # the documents table (drop %13, edit %7, add %11 with offset)
+        from azuresearchcrawlervector_spark.operators.recrawl import (
+            recrawl_delta)
+        d = spark.read.parquet(_t(sf, "documents"))
+        cur = (
+            d.filter(F.col("doc_id") % 13 != 0)
+            .withColumn("text", F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" edited")))
+                .otherwise(F.col("text")))
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 0)
+                .withColumn("doc_id", F.col("doc_id") + 50_000_000))
+        )
+        return recrawl_delta(d, cur).orderBy("doc_id")
+
     def q_pagerank(spark, sf):
         # PageRank over the flagship fixture's link graph (the crawl's
         # frontier-prioritization signal); oracle = pure-python golden
@@ -389,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "pagerank": q_pagerank,
         "curation": q_curation,
+        "recrawl_delta": q_recrawl_delta,
         "group_counts": q_group_counts,
         "embedding_dims": q_embedding_dims,
         "dedup_exact": q_dedup_exact,
@@ -893,6 +913,31 @@ def _oracle_sql_base() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        "recrawl_delta": """
+            WITH cur AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 50000000 AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0),
+            pf AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+              FROM documents),
+            cf AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+              FROM cur)
+            SELECT doc_id,
+                   CASE WHEN p.fp IS NULL THEN 'new'
+                        WHEN c.fp IS NULL THEN 'gone'
+                        WHEN p.fp = c.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM pf p FULL OUTER JOIN cf c USING (doc_id)
+            ORDER BY doc_id
         """,
         "curation": f"""
             WITH keepers AS (
