@@ -216,6 +216,29 @@ def sniff_image(data: bytes) -> dict:
         return {"fmt": "bmp", "w": m["w"], "h": m["h"],
                 "bit_depth": min(m["bpp"], 8),
                 "channels": 3 if m["bpp"] == 24 else 1}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # header-only WebP dims (metadata tier — no VP8 decoder here):
+        # VP8X canvas, VP8L signature-packed, VP8 lossy frame header
+        chunk = data[12:16]
+        if chunk == b"VP8X" and len(data) >= 30:
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return {"fmt": "webp", "w": w, "h": h, "bit_depth": 8,
+                    "channels": 4 if data[20] & 0x10 else 3}
+        if chunk == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {"fmt": "webp", "w": w, "h": h, "bit_depth": 8,
+                    "channels": 4 if (bits >> 28) & 1 else 3}
+        if chunk == b"VP8 " and len(data) >= 30:
+            if data[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("webp: bad VP8 start code")
+            w = int.from_bytes(data[26:28], "little") & 0x3FFF
+            h = int.from_bytes(data[28:30], "little") & 0x3FFF
+            return {"fmt": "webp", "w": w, "h": h, "bit_depth": 8,
+                    "channels": 3}
+        raise ValueError("webp: unrecognized or truncated chunk")
     if data[:2] == b"\xff\xd8":
         # walk marker segments to the frame header (SOF0/1/2); spec
         # allows 0xFF fill bytes between segments and length-less

@@ -172,7 +172,7 @@ SF1_SUITE = [
     "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups", "simhash64",
     "hamming_pairs", "emb_neardup_lsh", "ann_topk", "ann_topk_lsh",
     "ann_topk_ivf", "dedup_clusters_star", "session_stats",
-    "curation",
+    "curation", "recrawl_delta",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -441,6 +441,7 @@ def main():
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
         "simhash64", "hamming_pairs", "emb_neardup", "emb_neardup_lsh",
         "ann_topk", "ann_topk_ivf", "session_stats", "curation",
+        "recrawl_delta",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)

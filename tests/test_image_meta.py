@@ -99,3 +99,32 @@ def test_jpeg_sniff_tolerates_fill_bytes_and_rst():
     padded = jp[:2] + b"\xff\xff" + jp[2:]
     m = sniff_image(padded)
     assert (m["fmt"], m["w"], m["h"]) == ("jpeg", 16, 16)
+
+
+def _webp(chunk4, payload):
+    import struct as _s
+    body = chunk4 + _s.pack("<I", len(payload)) + payload
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_webp_header_sniff_all_three_chunks():
+    import struct as _s
+    # VP8L: signature byte + packed (w-1, h-1, alpha)
+    bits = (64 - 1) | ((48 - 1) << 14) | (1 << 28)
+    m = sniff_image(_webp(b"VP8L", bytes([0x2F]) + _s.pack("<I", bits)))
+    assert (m["fmt"], m["w"], m["h"], m["channels"]) == ("webp", 64, 48, 4)
+    # VP8 lossy: 3-byte frame tag, start code, 14-bit dims
+    payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + _s.pack("<HH", 320, 240)
+    m = sniff_image(_webp(b"VP8 ", payload))
+    assert (m["fmt"], m["w"], m["h"]) == ("webp", 320, 240)
+    # VP8X: canvas dims as 24-bit minus-one
+    payload = bytes([0x10, 0, 0, 0]) + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    m = sniff_image(_webp(b"VP8X", payload))
+    assert (m["fmt"], m["w"], m["h"], m["channels"]) == ("webp", 100, 50, 4)
+
+
+def test_webp_bad_start_code_rejected():
+    import pytest as _pt
+    payload = b"\x00\x00\x00" + b"\xff\x01\x2a" + b"\x40\x01\xf0\x00"
+    with _pt.raises(ValueError, match="webp"):
+        sniff_image(_webp(b"VP8 ", payload))
