@@ -370,7 +370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.col("text")))
             .unionByName(
                 d.filter(F.col("doc_id") % 11 == 0)
-                .withColumn("doc_id", F.col("doc_id") + 50_000_000))
+                # offset must clear EVERY id in any bench scale-up: the
+                # sf1 suite replicates ids at +k*10_000_000 (k<=9), so
+                # 1e9 stays collision-free where 50M would alias
+                # replica ids
+                .withColumn("doc_id", F.col("doc_id") + 1_000_000_000))
         )
         return recrawl_delta(d, cur).orderBy("doc_id")
 
@@ -921,7 +925,7 @@ def _oracle_sql_base() -> dict[str, str]:
                           ELSE text END AS text
               FROM documents WHERE doc_id % 13 <> 0
               UNION ALL
-              SELECT doc_id + 50000000 AS doc_id, text
+              SELECT doc_id + 1000000000 AS doc_id, text
               FROM documents WHERE doc_id % 11 = 0),
             pf AS (
               SELECT doc_id,

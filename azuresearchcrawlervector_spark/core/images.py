@@ -180,10 +180,13 @@ def sniff_image(data: bytes) -> dict:
     marker segments for JPEG) vs a full entropy decode, so corrupt or
     mislabeled rows are dropped before the expensive stage.
 
-    Recognizes every format the repo can decode: PNG (IHDR), baseline
+    Recognizes every format the repo can decode — PNG (IHDR), baseline
     JPEG (marker walk to SOF0/1/2), GIF87a/89a, TIFF (IFD walk, both
-    byte orders), BMP (DIB header), QPNG (sniffs the inner PNG).
-    Raises ValueError on anything else or on truncated headers.
+    byte orders), BMP (DIB header), QPNG (sniffs the inner PNG) — plus
+    WebP at the METADATA tier only (VP8/VP8L/VP8X dims from the RIFF
+    header; the repo carries no VP8 decoder, so fmt='webp' is not
+    accepted by decode()). Raises ValueError on anything else or on
+    truncated headers.
     """
     data = bytes(data)
     if data[:4] == b"QPNG":

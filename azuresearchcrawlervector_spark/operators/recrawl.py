@@ -39,16 +39,22 @@ def recrawl_delta(prev: DataFrame, cur: DataFrame,
     differs), 'unchanged' (both, fp equal). ONE full-outer sort-merge
     join on the id; both inputs reduce to 2-column projections first
     so the scan reads nothing else."""
-    p = with_fingerprint(prev, text_col, id_col).withColumnRenamed(
-        "fp", "fp_prev")
-    c = with_fingerprint(cur, text_col, id_col).withColumnRenamed(
-        "fp", "fp_cur")
+    # presence is tracked with non-nullable markers, NOT fp nullness —
+    # a NULL-text document (failed fetch) has a NULL fingerprint but is
+    # still present, and must classify as changed/gone, never 'new'
+    p = with_fingerprint(prev, text_col, id_col).select(
+        "doc_id", F.col("fp").alias("fp_prev"),
+        F.lit(True).alias("in_prev"))
+    c = with_fingerprint(cur, text_col, id_col).select(
+        "doc_id", F.col("fp").alias("fp_cur"),
+        F.lit(True).alias("in_cur"))
     return (
         p.join(c, on="doc_id", how="full_outer")
         .select(
             "doc_id",
-            F.when(F.col("fp_prev").isNull(), F.lit("new"))
-             .when(F.col("fp_cur").isNull(), F.lit("gone"))
-             .when(F.col("fp_prev") == F.col("fp_cur"), F.lit("unchanged"))
+            F.when(F.col("in_prev").isNull(), F.lit("new"))
+             .when(F.col("in_cur").isNull(), F.lit("gone"))
+             .when(F.col("fp_prev").eqNullSafe(F.col("fp_cur")),
+                   F.lit("unchanged"))
              .otherwise(F.lit("changed")).alias("status"))
     )

@@ -40,3 +40,13 @@ def test_plan_prunes_to_id_and_text(spark):
         ).optimizedPlan().toString()
     assert "payload" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_null_text_presence_not_misread_as_new(spark):
+    # NULL text (failed fetch) has a NULL fingerprint but the url is
+    # still PRESENT — it must never classify as 'new'
+    prev = _docs(spark, [(1, None), (2, None), (3, None)])
+    cur = _docs(spark, [(1, "recovered"), (2, None)])  # 3 vanishes
+    got = {r["doc_id"]: r["status"]
+           for r in recrawl_delta(prev, cur).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "gone"}
