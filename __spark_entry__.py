@@ -391,6 +391,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("node", F.round("rank", 6).alias("rank"))
                 .orderBy("node"))
 
+    def q_contamination(spark, sf):
+        # benchmark-contamination report; the "benchmark" is carved
+        # deterministically out of the corpus itself (doc_id % 29 == 0)
+        # so no external data is needed and hits are guaranteed
+        from azuresearchcrawlervector_spark.operators.contamination import (
+            contamination_report)
+        d = spark.read.parquet(_t(sf, "documents"))
+        bench = (d.filter(F.col("doc_id") % 29 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+        return contamination_report(d, bench, k=3).orderBy("doc_id")
+
+    def q_mixture_sample(spark, sf):
+        # deterministic md5-deviate stratified sample to a 50/25/25
+        # en/de/fr mixture of ~200 rows; rates derived from the group
+        # counts (O(#langs) collect), decision is a pure narrow filter
+        from azuresearchcrawlervector_spark.operators.sampling import (
+            mixture_sample)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return (mixture_sample(d, {"en": 0.5, "de": 0.25, "fr": 0.25},
+                               total=200, group_col="lang",
+                               id_col="doc_id", salt="mix")
+                .select("doc_id", "lang")
+                .orderBy("doc_id"))
+
+    def q_passage_dedup(spark, sf):
+        # CCNet-style passage dedup over 8-word windows (the corpus has
+        # no newline structure); globally-first occurrence wins
+        from azuresearchcrawlervector_spark.operators.dedup import (
+            passage_dedup)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return (passage_dedup(d, words_per_passage=8)
+                .orderBy("doc_id"))
+
     def q_minhash_lsh(spark, sf):
         # md5_60 hash mode — every step (md5 shingle hash, mod-2^61-1
         # permutations, md5 band buckets) reproducible in DuckDB; the
@@ -434,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh_partitioned": q_ann_lsh_part,
         "ann_topk_ivf_partitioned": q_ann_ivf_part,
         "crawl_flagship": q_crawl_flagship,
+        "contamination": q_contamination,
+        "mixture_sample": q_mixture_sample,
+        "passage_dedup": q_passage_dedup,
     }
 
 
@@ -1003,6 +1039,77 @@ def _oracle_sql_base() -> dict[str, str]:
         "crawl_flagship": _crawl_flagship_oracle_sql(),
         "minhash_lsh_dups": _minhash_lsh_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        # benchmark-contamination: same shingle CTE as the dedup
+        # oracles; the benchmark is the doc_id % 29 == 0 slice
+        "contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i.g:i.g+2], ' ') AS shingle
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 2),
+            bsh AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0)
+            SELECT s.doc_id,
+                   count(*) AS n_shingles,
+                   CAST(count(b.shingle) AS BIGINT) AS n_hit,
+                   round(CAST(count(b.shingle) AS DOUBLE) / count(*), 6)
+                     AS contam
+            FROM sh s LEFT JOIN bsh b ON s.shingle = b.shingle
+            GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        # deterministic md5-60 deviate stratified sample; rates derived
+        # from group counts exactly as operators/sampling.mixture_rates
+        "mixture_sample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            rates AS (
+              SELECT lang,
+                     least(CAST(1.0 AS DOUBLE),
+                           200 * CASE lang WHEN 'en' THEN 0.5
+                                           WHEN 'de' THEN 0.25
+                                           WHEN 'fr' THEN 0.25 END / n)
+                       AS rate
+              FROM counts WHERE lang IN ('en', 'de', 'fr'))
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE CAST(concat('0x', substr(md5(concat('mix:',
+                    CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 < r.rate
+            ORDER BY d.doc_id
+        """,
+        # CCNet-style passage dedup over 8-word windows: globally-first
+        # occurrence (lowest doc_id, pos) of each distinct passage wins
+        "passage_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+              FROM documents),
+            segs AS (
+              SELECT doc_id, i.g - 1 AS pos,
+                     array_to_string(ts[(i.g-1)*8+1:i.g*8], ' ') AS passage
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= CAST(ceil(len(ts) / 8.0) AS BIGINT)),
+            firsts AS (
+              SELECT doc_id, pos, passage FROM (
+                SELECT doc_id, pos, passage,
+                       row_number() OVER (PARTITION BY passage
+                                          ORDER BY doc_id, pos) AS rn
+                FROM segs) WHERE rn = 1),
+            totals AS (
+              SELECT doc_id, count(*) AS n_passages FROM segs GROUP BY 1),
+            kept AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(passage, ' ' ORDER BY pos) AS clean_text
+              FROM firsts GROUP BY 1)
+            SELECT t.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   t.n_passages,
+                   coalesce(k.n_kept, 0) AS n_kept
+            FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+            ORDER BY t.doc_id
+        """,
     }
 
 

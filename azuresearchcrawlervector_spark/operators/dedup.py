@@ -701,3 +701,72 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cosine")
     )
+
+
+def passage_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    words_per_passage: int = 0, sep: str = "\n",
+) -> DataFrame:
+    """Passage-level exact dedup (the CCNet/C4 "line dedup" step):
+    segment every document, keep only the globally FIRST occurrence of
+    each distinct passage (first = lowest (doc_id, position)), and
+    reassemble the surviving passages in document order.
+
+    Segmentation: ``words_per_passage > 0`` cuts fixed word windows
+    (for corpora without newline structure); otherwise split on
+    ``sep`` (the CCNet newline convention).
+
+    Returns (doc_id, clean_text, n_passages, n_kept) for EVERY input
+    document — a fully boilerplate document survives with
+    ``clean_text = ''`` and ``n_kept = 0`` so callers can decide the
+    drop policy themselves.
+
+    Scale shape: two shuffles total. (1) first-occurrence selection is
+    a groupBy(passage).agg(min(struct(doc_id, pos))) — map-side
+    combinable, one row per DISTINCT passage crosses the wire (a
+    window over partitionBy(passage) would shuffle every occurrence
+    and is skew-prone on hot boilerplate lines). (2) reassembly is a
+    groupBy(doc_id) over the kept rows only. No UDFs, no window, no
+    driver state.
+    """
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    if words_per_passage > 0:
+        w = words_per_passage
+        seg_arr = F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN array() ELSE"
+            f" transform(sequence(1, CAST(ceil(size({toks}) / {w}.0) AS INT)),"
+            f" g -> concat_ws(' ', slice({toks}, (g - 1) * {w} + 1, {w}))) END"
+        )
+    else:
+        seg_arr = F.split(F.col(text_col), sep)
+    segs = _widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(seg_arr).alias("pos", "passage"),
+    )
+    first = (
+        segs.groupBy("passage")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+        .select("passage", F.col("f.doc_id").alias("doc_id"),
+                F.col("f.pos").alias("pos"))
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_passages"))
+    kept = (
+        first.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " " if words_per_passage > 0 else sep,
+                F.expr("transform(array_sort(collect_list(struct(pos, passage))),"
+                       " s -> s.passage)"),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
