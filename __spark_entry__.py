@@ -424,6 +424,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (passage_dedup(d, words_per_passage=8)
                 .orderBy("doc_id"))
 
+    def q_pq_codes(spark, sf):
+        # product-quantization encode, positional codebooks (the
+        # SQL-derivable oracle-twin mode; trained k-means codebooks are
+        # exercised by tests/bench). Fixed-point int math end to end.
+        from azuresearchcrawlervector_spark.operators.pq import (
+            pq_encode, pq_train)
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        books = pq_train(em, m=8, k=16, mode="positional")
+        return (pq_encode(em, books)
+                .select("vec_id", F.array_join("codes", ",").alias("codes"))
+                .orderBy("vec_id"))
+
+    def q_pq_adc_topk(spark, sf):
+        # asymmetric-distance top-10 over the PQ codes for the
+        # embedding of vec_id=0 — exact int LUT, deterministic ties
+        from azuresearchcrawlervector_spark.operators.pq import (
+            pq_adc_topk, pq_encode, pq_train)
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        books = pq_train(em, m=8, k=16, mode="positional")
+        qvec = [float(x) for x in
+                em.filter(F.col("vec_id") == 0).head()["embedding"]]
+        return pq_adc_topk(pq_encode(em, books), books, qvec, topk=10)
+
     def q_minhash_lsh(spark, sf):
         # md5_60 hash mode — every step (md5 shingle hash, mod-2^61-1
         # permutations, md5 band buckets) reproducible in DuckDB; the
@@ -470,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "mixture_sample": q_mixture_sample,
         "passage_dedup": q_passage_dedup,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -1079,6 +1104,72 @@ def _oracle_sql_base() -> dict[str, str]:
                     CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   / 1152921504606846976.0 < r.rate
             ORDER BY d.doc_id
+        """,
+        # product quantization, positional codebooks: the centroids are
+        # DERIVED IN SQL (subvectors of the 16 lowest-id rows), so the
+        # whole encode is data-driven fixed-point int math both sides
+        "pq_codes": """
+            WITH iv AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              FROM embeddings),
+            base AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+              FROM iv ORDER BY vec_id LIMIT 16),
+            cb AS (
+              SELECT ss.s, base.c, base.v[ss.s*8+1:ss.s*8+8] AS cent
+              FROM base, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+            d AS (
+              SELECT iv.vec_id, cb.s, cb.c,
+                     list_sum(list_transform([1,2,3,4,5,6,7,8],
+                       j -> (iv.v[cb.s*8+j] - cb.cent[j])
+                          * (iv.v[cb.s*8+j] - cb.cent[j]))) AS dist
+              FROM iv, cb),
+            codes AS (
+              SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT vec_id,
+                   string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS codes
+            FROM codes GROUP BY vec_id ORDER BY vec_id
+        """,
+        # ADC top-10 for vec_id=0's embedding over the same PQ codes —
+        # exact integer LUT join, deterministic id tiebreak
+        "pq_adc_topk": """
+            WITH iv AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              FROM embeddings),
+            base AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+              FROM iv ORDER BY vec_id LIMIT 16),
+            cb AS (
+              SELECT ss.s, base.c, base.v[ss.s*8+1:ss.s*8+8] AS cent
+              FROM base, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+            d AS (
+              SELECT iv.vec_id, cb.s, cb.c,
+                     list_sum(list_transform([1,2,3,4,5,6,7,8],
+                       j -> (iv.v[cb.s*8+j] - cb.cent[j])
+                          * (iv.v[cb.s*8+j] - cb.cent[j]))) AS dist
+              FROM iv, cb),
+            codes AS (
+              SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dist, c) AS rn
+                FROM d) WHERE rn = 1),
+            q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+            lut AS (
+              SELECT cb.s, cb.c,
+                     list_sum(list_transform([1,2,3,4,5,6,7,8],
+                       j -> (q.qv[cb.s*8+j] - cb.cent[j])
+                          * (q.qv[cb.s*8+j] - cb.cent[j]))) AS ld
+              FROM cb, q)
+            SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
+            FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+            GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
         """,
         # CCNet-style passage dedup over 8-word windows: globally-first
         # occurrence (lowest doc_id, pos) of each distinct passage wins
