@@ -173,6 +173,8 @@ SF1_SUITE = [
     "hamming_pairs", "emb_neardup_lsh", "ann_topk", "ann_topk_lsh",
     "ann_topk_ivf", "dedup_clusters_star", "session_stats",
     "curation", "recrawl_delta",
+    "contamination", "passage_dedup", "mixture_sample", "pq_codes",
+    "pq_adc_topk",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -441,7 +443,8 @@ def main():
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
         "simhash64", "hamming_pairs", "emb_neardup", "emb_neardup_lsh",
         "ann_topk", "ann_topk_ivf", "session_stats", "curation",
-        "recrawl_delta",
+        "recrawl_delta", "contamination", "passage_dedup",
+        "mixture_sample", "pq_codes", "pq_adc_topk",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)
