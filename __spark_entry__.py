@@ -447,6 +447,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 em.filter(F.col("vec_id") == 0).head()["embedding"]]
         return pq_adc_topk(pq_encode(em, books), books, qvec, topk=10)
 
+    def q_ann_ivfpq(spark, sf):
+        # the composed 10^10-row serving path: IVF routing partitions
+        # the table, PQ codes replace the raw vectors, ADC top-k scans
+        # only the probed partitions (positional twin modes both sides)
+        from azuresearchcrawlervector_spark.operators.pq import (
+            ann_topk_ivfpq_partitioned, write_ivfpq_partitioned)
+        em = spark.read.parquet(_t(sf, "embeddings"))
+        qvec = [float(x) for x in
+                em.filter(F.col("vec_id") == 0).head()["embedding"]]
+        path = tempfile.mkdtemp(prefix="acs_ivfpq_") + "/emb"
+        write_ivfpq_partitioned(em, path, n_centroids=16, m=8, k_codes=16)
+        return ann_topk_ivfpq_partitioned(spark, path, qvec, k=10, nprobe=4)
+
     def q_minhash_lsh(spark, sf):
         # md5_60 hash mode — every step (md5 shingle hash, mod-2^61-1
         # permutations, md5 band buckets) reproducible in DuckDB; the
@@ -495,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ann_topk_ivfpq": q_ann_ivfpq,
     }
 
 
@@ -568,6 +582,76 @@ def _ann_ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 4,
         FROM assign a, q
         WHERE a.cidx IN (SELECT cidx FROM qprobe)
         ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
+def _ann_ivfpq_oracle_sql(n_centroids: int = 16, nprobe: int = 4,
+                          k: int = 10) -> str:
+    """IVF-PQ twin: the IVF routing/probe CTEs (identical to
+    _ann_ivf_oracle_sql) composed with the PQ fixed-point codes + ADC
+    LUT CTEs (identical to the pq_codes/pq_adc_topk oracles) — exact
+    integer distances inside the probed inverted lists."""
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+    def cos(a: str, b: str) -> str:
+        return (f"round({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)")
+
+    return f"""
+        WITH cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                 embedding AS ce
+          FROM embeddings WHERE vec_id < {n_centroids}),
+        ac AS (
+          SELECT e.vec_id, c.cidx, {cos('e.embedding', 'c.ce')} AS ccos
+          FROM embeddings e CROSS JOIN cents c),
+        assign AS (
+          SELECT vec_id, cidx FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, cidx ASC) AS rn
+            FROM ac) WHERE rn = 1),
+        qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+        qprobe AS (
+          SELECT c.cidx FROM cents c, qe
+          ORDER BY {cos('qe.qemb', 'c.ce')} DESC, c.cidx ASC LIMIT {nprobe}),
+        iv AS (
+          SELECT vec_id, list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        base AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+          FROM iv ORDER BY vec_id LIMIT 16),
+        cb AS (
+          SELECT ss.s, base.c, base.v[ss.s*8+1:ss.s*8+8] AS cent
+          FROM base, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+        d AS (
+          SELECT iv.vec_id, cb.s, cb.c,
+                 list_sum(list_transform([1,2,3,4,5,6,7,8],
+                   j -> (iv.v[cb.s*8+j] - cb.cent[j])
+                      * (iv.v[cb.s*8+j] - cb.cent[j]))) AS dist
+          FROM iv, cb),
+        codes AS (
+          SELECT vec_id, s, c FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, c) AS rn
+            FROM d) WHERE rn = 1),
+        q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+        lut AS (
+          SELECT cb.s, cb.c,
+                 list_sum(list_transform([1,2,3,4,5,6,7,8],
+                   j -> (q.qv[cb.s*8+j] - cb.cent[j])
+                      * (q.qv[cb.s*8+j] - cb.cent[j]))) AS ld
+          FROM cb, q),
+        adc AS (
+          SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
+          FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+          GROUP BY 1)
+        SELECT a.vec_id, adc.adc_dist
+        FROM assign a JOIN adc ON a.vec_id = adc.vec_id
+        WHERE a.cidx IN (SELECT cidx FROM qprobe)
+        ORDER BY adc.adc_dist, a.vec_id LIMIT {k}
     """
 
 
@@ -1061,6 +1145,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "emb_neardup_lsh": _emb_neardup_lsh_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
+        "ann_topk_ivfpq": _ann_ivfpq_oracle_sql(),
         "crawl_flagship": _crawl_flagship_oracle_sql(),
         "minhash_lsh_dups": _minhash_lsh_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),

@@ -148,11 +148,12 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<bigint>[m]): per subspace, the index of the
-    squared-L2-nearest centroid (tie → lowest code). Pure projection —
-    literal centroid arrays, zip_with/aggregate distances, argmin via
-    array_position. No shuffle, no UDF."""
+    """(id, codes array<bigint>[m], *keep): per subspace, the index of
+    the squared-L2-nearest centroid (tie → lowest code). Pure
+    projection — literal centroid arrays, zip_with/aggregate distances,
+    argmin via array_position. No shuffle, no UDF."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     out = with_ivec(df, vec_col)
@@ -166,7 +167,7 @@ def pq_encode(
         code_exprs.append(
             f"array_position({dists}, array_min({dists})) - 1")
     codes = "array(" + ", ".join(code_exprs) + ")"
-    return out.select(id_col, F.expr(codes).alias(codes_col))
+    return out.select(id_col, F.expr(codes).alias(codes_col), *keep)
 
 
 def adc_lut(codebooks: list[list[list[int]]],
@@ -203,3 +204,70 @@ def pq_adc_topk(
             .select(id_col, F.expr(dist).alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
             .limit(topk))
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def _ivfpq_sidecar(path: str) -> str:
+    return path.rstrip("/") + "_ivfpq.json"
+
+
+def write_ivfpq_partitioned(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: str = "positional",
+    pq_mode: str = "positional",
+) -> None:
+    """The full 10^10-row ANN serving layout: rows are routed to their
+    IVF inverted list (max-cosine centroid, similarity.py semantics)
+    AND compressed to PQ codes, then written partitioned by ``ivf_cid``
+    with ONLY (id, codes) inside — the raw vector column never reaches
+    the serving table (m int8-range codes vs dim floats: ~32× smaller
+    at m=8, dim=64). A query prunes non-probed list directories at the
+    FILE level and ADC-scans codes, so probe cost ∝ probed-list bytes,
+    not corpus bytes. Centroids + codebooks persist in a JSON sidecar
+    (the index metadata: n_centroids×dim floats + m×k×dsub ints)."""
+    import json
+
+    from .similarity import _resolve_centroids, with_ivf_assignment
+
+    cents = _resolve_centroids(df, n_centroids, vec_col, id_col, centroids)
+    books = pq_train(df, m=m, k=k_codes, vec_col=vec_col, id_col=id_col,
+                     mode=pq_mode)
+    assigned = with_ivf_assignment(df, cents, vec_col)
+    pq_encode(assigned, books, vec_col, id_col, keep=("ivf_cid",)) \
+        .write.mode("overwrite").partitionBy("ivf_cid").parquet(path)
+    with open(_ivfpq_sidecar(path), "w") as fh:
+        json.dump({"centroid_mode": centroids, "pq_mode": pq_mode,
+                   "centroids": cents, "codebooks": books}, fh)
+
+
+def ann_topk_ivfpq_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the IVF-PQ layout: probe the nprobe max-cosine
+    inverted lists (partition pruning — non-probed directories are
+    never opened), then asymmetric-distance scan of the codes. Returns
+    (id, adc_dist); ties break to the lowest id."""
+    import json
+
+    from .similarity import _ivf_probe
+
+    with open(_ivfpq_sidecar(path)) as fh:
+        meta = json.load(fh)
+    cents = [(int(c), list(map(float, v))) for c, v in meta["centroids"]]
+    books = [[[int(x) for x in cent] for cent in sub]
+             for sub in meta["codebooks"]]
+    probe = _ivf_probe(cents, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("ivf_cid").isin(probe))
+    return pq_adc_topk(cand, books, query_vec, topk=k, id_col=id_col)

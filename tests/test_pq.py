@@ -135,3 +135,50 @@ def test_pq_train_validates(spark):
         pq_train(df, m=4, k=8, mode="positional")   # too few rows
     with pytest.raises(ValueError):
         pq_train(df, m=4, k=2, mode="nope")
+
+
+def test_ivfpq_layout_and_search(spark, tmp_path):
+    import os
+    from azuresearchcrawlervector_spark.operators.pq import (
+        ann_topk_ivfpq_partitioned, write_ivfpq_partitioned,
+    )
+    rng = random.Random(31)
+    centers = [[rng.uniform(-3, 3) for _ in range(16)] for _ in range(4)]
+    rows = [(i, [x + rng.uniform(-0.2, 0.2) for x in centers[i % 4]])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_partitioned(df, path, n_centroids=4, m=4, k_codes=8)
+    # layout: ivf_cid partition dirs, NO raw vector column inside
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("ivf_cid="))
+    assert len(dirs) == 4
+    inner = spark.read.parquet(path)
+    assert set(inner.columns) == {"vec_id", "codes", "ivf_cid"}
+    # search: top-10 for a cluster-2 query stays in cluster 2 and is
+    # ADC-ordered with id tiebreak
+    stored = {r["vec_id"]: [float(x) for x in r["embedding"]]
+              for r in df.collect()}
+    got = ann_topk_ivfpq_partitioned(spark, path, stored[2], k=10,
+                                     nprobe=1).collect()
+    assert [c for c in got[0].asDict()] == ["vec_id", "adc_dist"]
+    assert got[0]["vec_id"] == 2            # the query row itself
+    assert all(r["vec_id"] % 4 == 2 for r in got)
+    dists = [r["adc_dist"] for r in got]
+    assert dists == sorted(dists)
+
+
+def test_ivfpq_prunes_partitions(spark, tmp_path):
+    from azuresearchcrawlervector_spark.operators.pq import (
+        ann_topk_ivfpq_partitioned, write_ivfpq_partitioned,
+    )
+    rng = random.Random(37)
+    centers = [[rng.uniform(-3, 3) for _ in range(16)] for _ in range(4)]
+    rows = [(i, [x + rng.uniform(-0.2, 0.2) for x in centers[i % 4]])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_partitioned(df, path, n_centroids=4, m=4, k_codes=8)
+    q = [float(x) for x in rows[1][1]]
+    topk = ann_topk_ivfpq_partitioned(spark, path, q, k=5, nprobe=2)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cid" in plan
