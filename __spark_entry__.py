@@ -447,6 +447,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 em.filter(F.col("vec_id") == 0).head()["embedding"]]
         return pq_adc_topk(pq_encode(em, books), books, qvec, topk=10)
 
+    def q_lm_quality(spark, sf):
+        # CCNet-style LM quality: self-trained add-alpha bigram model,
+        # score = avg log10 P(w_i | w_{i-1}) per document
+        from azuresearchcrawlervector_spark.operators.lm import lm_quality
+        d = spark.read.parquet(_t(sf, "documents"))
+        return lm_quality(d, alpha=0.5).orderBy("doc_id")
+
     def q_ann_ivfpq(spark, sf):
         # the composed 10^10-row serving path: IVF routing partitions
         # the table, PQ codes replace the raw vectors, ADC top-k scans
@@ -509,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ann_topk_ivfpq": q_ann_ivfpq,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -1255,6 +1263,28 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
             FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
             GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # self-trained add-alpha bigram LM quality score (CCNet filter):
+        # every ratio is exact counts, so round(,4) is engine-stable
+        "lm_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg,
+                     ts[i.g] AS w1
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 1),
+            c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM c1)
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(avg(log10((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 4)
+                     AS avg_logp
+            FROM bg b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.w1 = c1.w1, v
+            GROUP BY 1 ORDER BY 1
         """,
         # CCNet-style passage dedup over 8-word windows: globally-first
         # occurrence (lowest doc_id, pos) of each distinct passage wins

@@ -1,0 +1,110 @@
+"""Corpus-trained bigram language model + per-document LM quality score.
+
+The CCNet recipe filters web text by language-model perplexity; this is
+that filter with the LM itself trained distributedly on the corpus (or
+any reference corpus): add-alpha-smoothed bigram model, document score
+= average log10 P(w_i | w_{i-1}) — a monotone transform of perplexity.
+
+Spark shape at 100 TB:
+- Bigram extraction is a JVM projection (split → transform over the
+  token array → explode); counting is ONE map-side-combinable groupBy
+  per level (bigram, unigram-prefix). The model is a DataFrame — it
+  does NOT need to fit on the driver or in a broadcast; scoring joins
+  on the bigram key (sort-merge at scale, broadcast when the model is
+  small or pruned with ``min_count``).
+- Scoring = explode doc bigrams → left join model (unseen backs off to
+  the smoothed floor) → one groupBy(doc) average. Two shuffles
+  (model join + doc agg) regardless of corpus size.
+- ``V`` (vocabulary size for smoothing) is the distinct first-token
+  count — one combinable distinct-count returning a scalar.
+
+No reference counterpart; extends the LLM-pipeline family. Alpha
+smoothing keeps every quantity a ratio of exact counts, so the DuckDB
+oracle reproduces scores to well past the rounded 4 decimals.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TOKS = "filter(split(lower({col}), '\\\\s+'), x -> x != '')"
+
+# bigrams over a MATERIALIZED token-array column (`_ts`), never over
+# the split() expression itself: an inlined split would be re-evaluated
+# per lambda element (O(tokens^2) splits per doc). The two-projection
+# shape below keeps the array computed once per row — Spark's
+# CollapseProject declines to inline a non-cheap alias referenced from
+# multiple places. Spark SQL array indexing in expr strings is 0-based.
+_BIGRAMS = ("CASE WHEN size(_ts) < 2 THEN array() ELSE"
+            " transform(sequence(1, size(_ts) - 1),"
+            " i -> concat(_ts[i - 1], ' ', _ts[i])) END")
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bg) — one row per bigram OCCURRENCE (not distinct)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.expr(_TOKS.format(col=text_col)).alias("_ts"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg"))
+    )
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_count: int = 1) -> tuple[DataFrame, int]:
+    """Model table (bg, w1, c2, c1) + V (distinct first tokens).
+
+    c2 = count of the bigram, c1 = count of w1 as a bigram prefix;
+    rows with c2 < min_count are pruned (scoring backs off to the
+    smoothed floor for them — the standard frequency cutoff that keeps
+    a 100 TB model joinable)."""
+    bg = doc_bigrams(df, text_col, id_col)
+    with_w1 = bg.withColumn("w1", F.split("bg", " ").getItem(0))
+    c2 = with_w1.groupBy("bg", "w1").agg(F.count("*").alias("c2"))
+    c1 = with_w1.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = c1.count()
+    model = c2.join(c1, "w1").select("bg", "w1", "c2", "c1")
+    if min_count > 1:
+        model = model.filter(F.col("c2") >= min_count)
+    return model, v
+
+
+def lm_score(df: DataFrame, model: DataFrame, v: int,
+             alpha: float = 0.5, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp) for every doc with >= 1 bigram:
+    avg over the doc's bigram occurrences of
+    log10((c2 + alpha) / (c1 + alpha * V)), with c2 (and c1 for fully
+    unseen prefixes) defaulting to 0 — the add-alpha backoff floor.
+    Higher is better; CCNet thresholds on exactly this quantity."""
+    bg = doc_bigrams(df, text_col, id_col)
+    # w1 marginals must survive bigram pruning: join c1 separately so
+    # an unseen BIGRAM with a seen prefix still uses the true c1
+    c1 = model.select("w1", "c1").distinct()
+    scored = (
+        bg.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(model.select("bg", "c2"), "bg", "left")
+        .join(c1, "w1", "left")
+        .withColumn(
+            "logp",
+            F.log10(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.coalesce(F.col("c1"), F.lit(0))
+                   + F.lit(float(alpha)) * F.lit(float(v)))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+    )
+
+
+def lm_quality(df: DataFrame, alpha: float = 0.5,
+               text_col: str = "text", id_col: str = "doc_id",
+               min_count: int = 1) -> DataFrame:
+    """Self-trained convenience: train on ``df``, score ``df``."""
+    model, v = train_bigram_lm(df, text_col, id_col, min_count)
+    return lm_score(df, model, v, alpha, text_col, id_col)
