@@ -454,6 +454,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return lm_quality(d, alpha=0.5).orderBy("doc_id")
 
+    def q_bm25(spark, sf):
+        # Okapi BM25 top-10 for a 3-term query over the corpus — the
+        # lexical-search complement to the ANN paths
+        from azuresearchcrawlervector_spark.operators.search import (
+            bm25_topk)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return bm25_topk(d, "table window spark", k=10)
+
     def q_ann_ivfpq(spark, sf):
         # the composed 10^10-row serving path: IVF routing partitions
         # the table, PQ codes replace the raw vectors, ADC top-k scans
@@ -517,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ann_topk_ivfpq": q_ann_ivfpq,
         "lm_quality": q_lm_quality,
+        "bm25_topk": q_bm25,
     }
 
 
@@ -1263,6 +1272,37 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
             FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
             GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # Okapi BM25 (Lucene +1 idf variant); arithmetic written with
+        # the IDENTICAL literal shapes as the Spark plan (1.2 + 1.0,
+        # 1.0 - 0.75 + ...) so both engines evaluate the same doubles
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            tok AS (
+              SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM toks),
+            dl AS (SELECT doc_id, any_value(dl) AS dl FROM tok GROUP BY 1),
+            stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            hit AS (
+              SELECT doc_id, tok, count(*) AS tf FROM tok
+              WHERE tok IN ('spark', 'table', 'window') GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM hit GROUP BY 1),
+            scored AS (
+              SELECT h.doc_id,
+                     ln((CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5)
+                        + 1.0)
+                     * (h.tf * (1.2 + 1.0))
+                     / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))
+                       AS contrib
+              FROM hit h JOIN dfreq f USING (tok)
+              JOIN dl d ON h.doc_id = d.doc_id, stats s)
+            SELECT doc_id, round(sum(contrib), 4) AS score
+            FROM scored GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         # self-trained add-alpha bigram LM quality score (CCNet filter):
         # every ratio is exact counts, so round(,4) is engine-stable
