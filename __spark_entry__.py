@@ -454,6 +454,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return lm_quality(d, alpha=0.5).orderBy("doc_id")
 
+    def q_hll_distinct(spark, sf):
+        # HLL distinct texts per lang (b=8): the md5-60 register
+        # pipeline and the exact-int harmonic sum are reproduced in
+        # ANSI SQL, so even the APPROXIMATE sketch hash-matches
+        from azuresearchcrawlervector_spark.operators.hll import (
+            hll_distinct)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return hll_distinct(d, "text", ("lang",)).orderBy("lang")
+
     def q_bm25(spark, sf):
         # Okapi BM25 top-10 for a 3-term query over the corpus — the
         # lexical-search complement to the ANN paths
@@ -526,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": q_ann_ivfpq,
         "lm_quality": q_lm_quality,
         "bm25_topk": q_bm25,
+        "hll_distinct_lang": q_hll_distinct,
     }
 
 
@@ -1272,6 +1282,40 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
             FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
             GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # HyperLogLog per-lang distinct (b=8): md5-60 hash, top-8-bit
+        # register, rho from bit-length, EXACT-int harmonic sum scaled
+        # by 2^53, alpha and corrections with identical literal shapes
+        "hll_distinct_lang": """
+            WITH h AS (
+              SELECT lang,
+                     CAST(concat('0x', substr(md5(CAST(text AS VARCHAR)),
+                          1, 15)) AS BIGINT) AS hv
+              FROM documents),
+            regs AS (
+              SELECT lang, hv >> 52 AS idx,
+                     max(CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                              ELSE 53 - length(bin(hv & 4503599627370495))
+                         END) AS rho
+              FROM h GROUP BY 1, 2),
+            agg AS (
+              SELECT lang, count(*) AS nz,
+                     CAST(sum((CAST(1 AS BIGINT) << (53 - rho)))
+                          AS BIGINT) AS zs
+              FROM regs GROUP BY 1)
+            SELECT lang,
+                   round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE raw END, 4) AS est
+            FROM (
+              SELECT lang,
+                     (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0
+                       * 9007199254740992.0
+                       / (zs + (256 - nz) * CAST(9007199254740992 AS BIGINT))
+                       AS raw,
+                     256 - nz AS zeros
+              FROM agg)
+            ORDER BY lang
         """,
         # Okapi BM25 (Lucene +1 idf variant); arithmetic written with
         # the IDENTICAL literal shapes as the Spark plan (1.2 + 1.0,

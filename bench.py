@@ -174,7 +174,7 @@ SF1_SUITE = [
     "ann_topk_ivf", "dedup_clusters_star", "session_stats",
     "curation", "recrawl_delta",
     "contamination", "passage_dedup", "mixture_sample", "pq_codes",
-    "pq_adc_topk", "lm_quality", "bm25_topk",
+    "pq_adc_topk", "lm_quality", "bm25_topk", "hll_distinct_lang",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -445,7 +445,7 @@ def main():
         "ann_topk", "ann_topk_ivf", "session_stats", "curation",
         "recrawl_delta", "contamination", "passage_dedup",
         "mixture_sample", "pq_codes", "pq_adc_topk", "lm_quality",
-        "bm25_topk",
+        "bm25_topk", "hll_distinct_lang",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)
