@@ -463,6 +463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return hll_distinct(d, "text", ("lang",)).orderBy("lang")
 
+    def q_repetition(spark, sf):
+        # Gopher/MassiveText repetition signals — exact-count ratios
+        from azuresearchcrawlervector_spark.operators.lm import (
+            repetition_stats)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return repetition_stats(d).orderBy("doc_id")
+
     def q_bm25(spark, sf):
         # Okapi BM25 top-10 for a 3-term query over the corpus — the
         # lexical-search complement to the ANN paths
@@ -536,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "bm25_topk": q_bm25,
         "hll_distinct_lang": q_hll_distinct,
+        "repetition_stats": q_repetition,
     }
 
 
@@ -1282,6 +1290,40 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
             FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
             GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # Gopher repetition signals: every ratio is exact counts
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            tok AS (
+              SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
+              FROM toks),
+            tt AS (
+              SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                     max(c) AS top_tok
+              FROM (SELECT doc_id, tok, any_value(n_tokens) AS n_tokens,
+                           count(*) AS c
+                    FROM tok GROUP BY 1, 2) GROUP BY 1),
+            bg AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 1),
+            bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            bga AS (
+              SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bg
+              FROM bgc GROUP BY 1)
+            SELECT t.doc_id, t.n_tokens,
+                   coalesce(round(CAST(t.top_tok AS DOUBLE) / t.n_tokens, 6),
+                            0.0) AS top_tok_frac,
+                   coalesce(round(CAST(b.top_bg AS DOUBLE) / b.n_bg, 6),
+                            0.0) AS top_bigram_frac,
+                   coalesce(round(CAST(b.dup_bg AS DOUBLE) / b.n_bg, 6),
+                            0.0) AS dup_bigram_frac
+            FROM tt t LEFT JOIN bga b USING (doc_id) ORDER BY t.doc_id
         """,
         # HyperLogLog per-lang distinct (b=8): md5-60 hash, top-8-bit
         # register, rho from bit-length, EXACT-int harmonic sum scaled

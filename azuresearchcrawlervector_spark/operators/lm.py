@@ -108,3 +108,56 @@ def lm_quality(df: DataFrame, alpha: float = 0.5,
     """Self-trained convenience: train on ``df``, score ``df``."""
     model, v = train_bigram_lm(df, text_col, id_col, min_count)
     return lm_score(df, model, v, alpha, text_col, id_col)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText repetition signals, exact counts per doc:
+
+    (doc_id, n_tokens, top_tok_frac, top_bigram_frac, dup_bigram_frac)
+    — fraction of tokens that are the single most frequent token, the
+    most frequent bigram's share of bigram occurrences, and the share
+    of bigram occurrences whose bigram repeats within the doc. High
+    values flag boilerplate/spam that perplexity alone misses.
+
+    One explode + one groupBy(doc, bigram) + one groupBy(doc) — all
+    combinable; every ratio is exact ints, rounded to 6 (SQL-twin
+    stable). Docs with < 2 tokens have no bigrams: the bigram
+    fractions are 0.0 by definition and n_tokens still reports."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.expr(_TOKS.format(col=text_col)).alias("_ts"))
+        .select("doc_id", F.size("_ts").alias("n_tokens"),
+                F.explode_outer("_ts").alias("tok"))
+    )
+    tok_top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.first("n_tokens").alias("n_tokens"),
+             F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.first("n_tokens").alias("n_tokens"),
+             F.max("c").alias("top_tok"))
+    )
+    bgs = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.expr(_TOKS.format(col=text_col)).alias("_ts"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bg"), F.max("c").alias("top_bg"),
+             F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                   .otherwise(F.lit(0))).alias("dup_bg"))
+    )
+    return (
+        tok_top.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce(
+                F.round(F.col("top_tok") / F.col("n_tokens"), 6),
+                F.lit(0.0)).alias("top_tok_frac"),
+            F.coalesce(F.round(F.col("top_bg") / F.col("n_bg"), 6),
+                       F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(F.round(F.col("dup_bg") / F.col("n_bg"), 6),
+                       F.lit(0.0)).alias("dup_bigram_frac"),
+        )
+    )

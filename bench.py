@@ -175,6 +175,7 @@ SF1_SUITE = [
     "curation", "recrawl_delta",
     "contamination", "passage_dedup", "mixture_sample", "pq_codes",
     "pq_adc_topk", "lm_quality", "bm25_topk", "hll_distinct_lang",
+    "repetition_stats",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -445,7 +446,7 @@ def main():
         "ann_topk", "ann_topk_ivf", "session_stats", "curation",
         "recrawl_delta", "contamination", "passage_dedup",
         "mixture_sample", "pq_codes", "pq_adc_topk", "lm_quality",
-        "bm25_topk", "hll_distinct_lang",
+        "bm25_topk", "hll_distinct_lang", "repetition_stats",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)

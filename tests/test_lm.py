@@ -71,3 +71,34 @@ def test_min_count_prunes_but_keeps_prefix_marginals(spark):
     # scoring still runs; pruned bigrams hit the backoff floor with the
     # TRUE c1 for prefix 'a' (from the surviving "a b" row)
     assert out["n_bigrams"] == 5
+
+
+def test_repetition_stats_exact(spark):
+    from azuresearchcrawlervector_spark.operators.lm import repetition_stats
+    df = _docs(spark, [
+        (1, "a a a b"),        # toks 4, top 'a' 3/4; bgs: aa,aa,ab -> top 2/3, dup 2/3
+        (2, "x y z w"),        # no repetition: top_tok 1/4, bigram fracs 1/3, 0
+        (3, "solo"),           # 1 token: no bigrams -> fracs 1.0 / 0 / 0
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_tok_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert out[1]["dup_bigram_frac"] == round(2 / 3, 6)
+    assert out[2]["top_tok_frac"] == 0.25
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_tok_frac"] == 1.0
+    assert out[3]["top_bigram_frac"] == 0.0 and out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_flags_boilerplate(spark):
+    from azuresearchcrawlervector_spark.operators.lm import repetition_stats
+    df = _docs(spark, [
+        (1, "click here to buy " * 20),
+        (2, "a genuinely varied sentence with many different words here"),
+    ])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_bigram_frac"] > 0.9
+    assert out[2]["dup_bigram_frac"] == 0.0
