@@ -300,3 +300,55 @@ def with_streaming_sessions(stream_df: DataFrame, gap_s: int = 30_000,
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def with_streaming_hll(stream_df: DataFrame, value_col: str = "url",
+                       group_col: str = "host", b: int = 8) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-group HyperLogLog distinct counter that persists ACROSS
+    micro-batches — the streaming twin of operators/hll.hll_distinct
+    (continuous "distinct URLs per host" without unbounded dedup
+    state). Emits (group, n_rows, est) once per group per micro-batch;
+    the row with the highest n_rows is the current estimate.
+
+    State = ONE 2^b-byte register array per group (256 B at b=8 —
+    fixed, never grows with distinct count: the whole point), updated
+    with the same md5-60 register math as the batch operator, so after
+    any prefix of the stream the emitted estimate is bit-identical to
+    hll_distinct over the same rows. Requires a string group column.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType as _B, LongType as _L, StructType as _S,
+    )
+
+    from ..operators.hll import estimate_from_registers, register_update
+
+    p = 1 << b
+    out_schema = f"{group_col} string, n_rows long, est double"
+    state_schema = _S([StructField("regs", _B(), False),
+                       StructField("n", _L(), False)])
+
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (g,) = key
+        if state.exists:
+            prev_regs, n = state.get
+            regs = bytearray(prev_regs)
+        else:
+            regs, n = bytearray(p), 0
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                register_update(regs, v, b)
+            n += len(pdf)
+        state.update((bytes(regs), n))
+        yield pd.DataFrame(
+            [(g, n, estimate_from_registers(regs, b))],
+            columns=[group_col, "n_rows", "est"])
+
+    return (
+        stream_df.groupBy(group_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
