@@ -470,6 +470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return repetition_stats(d).orderBy("doc_id")
 
+    def q_tfidf_keywords(spark, sf):
+        # top-5 tf-idf keywords per doc, (score DESC, token) stable
+        from azuresearchcrawlervector_spark.operators.search import (
+            tfidf_keywords)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return tfidf_keywords(d, top_k=5).orderBy("doc_id")
+
     def q_bm25(spark, sf):
         # Okapi BM25 top-10 for a 3-term query over the corpus — the
         # lexical-search complement to the ANN paths
@@ -544,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "hll_distinct_lang": q_hll_distinct,
         "repetition_stats": q_repetition,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -1290,6 +1298,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
             FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
             GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # smoothed tf-idf top-5 keywords; idf written with identical
+        # literal shapes; round-before-rank makes the top-k stable
+        "tfidf_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT t.doc_id, t.tok,
+                     round(t.tf * (ln((1.0 + n.n) / (f.dfq + 1)) + 1.0), 6)
+                       AS sc
+              FROM tf t JOIN dfq f USING (tok), n),
+            r AS (
+              SELECT doc_id, tok, sc,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY sc DESC, tok) AS rn
+              FROM sc)
+            SELECT doc_id, string_agg(tok, ',' ORDER BY sc DESC, tok)
+                     AS keywords
+            FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY 1
         """,
         # Gopher repetition signals: every ratio is exact counts
         "repetition_stats": r"""

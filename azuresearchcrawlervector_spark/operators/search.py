@@ -86,3 +86,41 @@ def bm25_topk(
     """One-shot convenience: build the (transient) index and search."""
     postings, doclens = bm25_index(df, text_col, id_col)
     return bm25_search_index(postings, doclens, query, k, k1, b)
+
+
+def tfidf_keywords(
+    df: DataFrame, top_k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, keywords) — the top-k terms per document by smoothed
+    tf-idf (sklearn convention: idf = ln((1+N)/(1+df)) + 1), keywords
+    comma-joined in (score DESC, token ASC) order. Scores are rounded
+    to 6 BEFORE ranking so the selection is engine-stable.
+
+    Scale: tf and document frequency are two combinable groupBys (df
+    derives from the tf table, so tokens are hashed once); N is one
+    scalar. The per-doc top-k is array_sort+slice inside the doc
+    groupBy — no window, no second shuffle over token rows."""
+    toks = _tokens(df, text_col, id_col).select("doc_id", "tok")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfq"))
+    n_docs = df.count()
+    sc = (
+        tf.join(dfreq, "tok")
+        .withColumn(
+            "sc",
+            F.round(
+                F.col("tf")
+                * (F.log(F.lit(1.0 + n_docs) / (F.col("dfq") + 1)) + 1.0),
+                6))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.expr(
+            f"slice(array_sort(collect_list(struct(-sc AS nsc, tok))),"
+            f" 1, {top_k})").alias("_top"))
+        .select(
+            "doc_id",
+            F.expr("array_join(transform(_top, s -> s.tok), ',')")
+             .alias("keywords"))
+    )

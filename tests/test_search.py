@@ -77,3 +77,39 @@ def test_bm25_term_filter_pushes_below_postings_shuffle(spark):
     # generator (explode) feeds a filter containing the literal term
     gen = plan.index("Generate explode")
     assert "spark" in plan[gen - 600:gen + 600]
+
+
+def test_tfidf_keywords_python_reference(spark):
+    from azuresearchcrawlervector_spark.operators.search import tfidf_keywords
+    corpus = [
+        (1, "rare gems rare gems shine common common common"),
+        (2, "common words fill this common document"),
+        (3, "gems appear here too with common words"),
+    ]
+    df = _docs(spark, corpus)
+    got = {r["doc_id"]: r["keywords"] for r in
+           tfidf_keywords(df, top_k=3).collect()}
+
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    dfq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfq[t] = dfq.get(t, 0) + 1
+    want = {}
+    for i, toks in docs.items():
+        sc = {t: round(toks.count(t) * (math.log((1.0 + n) / (dfq[t] + 1)) + 1.0), 6)
+              for t in set(toks)}
+        top = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want[i] = ",".join(t for t, _ in top)
+    assert got == want
+    # the ubiquitous term never outranks the distinctive ones
+    assert not got[1].startswith("common")
+
+
+def test_tfidf_no_window_single_doc_shuffle(spark):
+    from azuresearchcrawlervector_spark.operators.search import tfidf_keywords
+    df = _docs(spark, CORPUS)
+    plan = (tfidf_keywords(df, top_k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
