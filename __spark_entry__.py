@@ -470,6 +470,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return repetition_stats(d).orderBy("doc_id")
 
+    def q_curation_v2(spark, sf):
+        # the composed session-2 flow: decontaminate -> passage dedup
+        # -> repetition gate -> mixture sample, one declarative plan
+        from azuresearchcrawlervector_spark.operators.curation import (
+            curate_corpus_v2)
+        d = spark.read.parquet(_t(sf, "documents"))
+        bench = (d.filter(F.col("doc_id") % 29 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+        return curate_corpus_v2(d, bench).orderBy("doc_id")
+
     def q_tfidf_keywords(spark, sf):
         # top-5 tf-idf keywords per doc, (score DESC, token) stable
         from azuresearchcrawlervector_spark.operators.search import (
@@ -552,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_lang": q_hll_distinct,
         "repetition_stats": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
+        "curation_v2": q_curation_v2,
     }
 
 
@@ -1298,6 +1309,80 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT codes.vec_id, CAST(sum(lut.ld) AS BIGINT) AS adc_dist
             FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
             GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # the composed v2 curation flow: each stage reuses its
+        # standalone oracle's CTE verbatim, chained in stage order —
+        # first-occurrence among DECONTAMINATED docs, repetition over
+        # CLEANED text, sampling rates over GATED survivor counts
+        "curation_v2": r"""
+            WITH toks0 AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(text), '\s+') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ts[i.g:i.g+2], ' ') AS shingle
+              FROM toks0, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 2),
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+            flagged AS (
+              SELECT DISTINCT s.doc_id FROM sh s
+              JOIN bsh b ON s.shingle = b.shingle),
+            surv1 AS (
+              SELECT * FROM toks0
+              WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+            segs AS (
+              SELECT doc_id, i.g - 1 AS pos,
+                     array_to_string(ts[(i.g-1)*8+1:i.g*8], ' ') AS passage
+              FROM surv1, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= CAST(ceil(len(ts) / 8.0) AS BIGINT)),
+            firsts AS (
+              SELECT doc_id, pos, passage FROM (
+                SELECT doc_id, pos, passage,
+                       row_number() OVER (PARTITION BY passage
+                                          ORDER BY doc_id, pos) AS rn
+                FROM segs) WHERE rn = 1),
+            kept AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(passage, ' ' ORDER BY pos) AS clean_text
+              FROM firsts GROUP BY 1),
+            cts AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(clean_text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM kept),
+            bgc AS (
+              SELECT doc_id, ts[i.g] || ' ' || ts[i.g+1] AS bg
+              FROM cts, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 1),
+            bga AS (
+              SELECT doc_id, sum(c) AS n_bg,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bg
+              FROM (SELECT doc_id, bg, count(*) AS c FROM bgc
+                    GROUP BY 1, 2) GROUP BY 1),
+            rep AS (
+              SELECT k.doc_id, k.n_kept,
+                     coalesce(round(CAST(b.dup_bg AS DOUBLE) / b.n_bg, 6),
+                              0.0) AS dup_bigram_frac
+              FROM kept k LEFT JOIN bga b USING (doc_id)),
+            gated AS (
+              SELECT r.*, t.lang FROM rep r JOIN toks0 t USING (doc_id)
+              WHERE dup_bigram_frac <= 0.1),
+            counts AS (SELECT lang, count(*) AS n FROM gated GROUP BY 1),
+            rates AS (
+              SELECT lang,
+                     least(CAST(1.0 AS DOUBLE),
+                           40 * CASE lang WHEN 'en' THEN 0.5
+                                          WHEN 'de' THEN 0.25
+                                          WHEN 'fr' THEN 0.25 END / n)
+                       AS rate
+              FROM counts WHERE lang IN ('en', 'de', 'fr'))
+            SELECT g.doc_id, g.lang, g.n_kept, g.dup_bigram_frac
+            FROM gated g JOIN rates r ON g.lang = r.lang
+            WHERE CAST(concat('0x', substr(md5(concat('mix:',
+                    CAST(g.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 < r.rate
+            ORDER BY g.doc_id
         """,
         # smoothed tf-idf top-5 keywords; idf written with identical
         # literal shapes; round-before-rank makes the top-k stable

@@ -44,3 +44,60 @@ def curate_corpus(df: DataFrame, min_quality: float = 0.5,
     return scored.filter(
         (F.col("quality") >= min_quality)
         & F.col("lang_pred").isin(*langs))
+
+
+def curate_corpus_v2(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    words_per_passage: int = 8,
+    max_dup_bigram_frac: float = 0.1,
+    target_shares: dict[str, float] | None = None,
+    total: int = 40,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """The session-2 training-data flow composed end to end — still one
+    declarative plan Catalyst sees whole:
+
+    1. DECONTAMINATE (strict): drop any doc sharing a word-k-gram with
+       the benchmark.
+    2. PASSAGE DEDUP (fixed word windows): globally-first occurrence
+       among the SURVIVORS; docs left with zero passages drop out.
+    3. REPETITION GATE (Gopher): dup_bigram_frac over the CLEANED text
+       must not exceed the threshold.
+    4. MIXTURE SAMPLE: deterministic md5-deviate sample of the gated
+       survivors to the target group mixture.
+
+    Returns (doc_id, <group_col>, n_kept, dup_bigram_frac) for the
+    sampled docs. Stage order matters and is part of the contract:
+    dedup first-occurrence is computed among decontaminated docs only,
+    repetition over deduped text, and sampling rates over the gated
+    survivor counts.
+    """
+    from .contamination import decontaminate
+    from .dedup import passage_dedup
+    from .lm import repetition_stats
+    from .sampling import mixture_sample
+
+    if target_shares is None:
+        target_shares = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    surv = decontaminate(df, benchmark, k=k, text_col=text_col,
+                         id_col=id_col)
+    deduped = passage_dedup(surv, text_col, id_col,
+                            words_per_passage=words_per_passage) \
+        .filter(F.col("n_kept") > 0)
+    rep = repetition_stats(deduped, text_col="clean_text",
+                           id_col="doc_id")
+    gated = (
+        rep.filter(F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        .select("doc_id", "dup_bigram_frac")
+        .join(deduped.select("doc_id", "n_kept"), "doc_id")
+        .join(df.select(F.col(id_col).alias("doc_id"), group_col),
+              "doc_id")
+    )
+    return mixture_sample(gated, target_shares, total, group_col,
+                          "doc_id", salt) \
+        .select("doc_id", group_col, "n_kept", "dup_bigram_frac")

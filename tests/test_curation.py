@@ -44,3 +44,31 @@ def test_single_corpus_scan_plan(spark):
     # no cartesian / no broadcast nested loop — semi join on doc_id
     assert "Cartesian" not in plan
     assert "LeftSemi" in plan
+
+
+def test_curate_corpus_v2_stage_semantics(spark):
+    from azuresearchcrawlervector_spark.operators.curation import (
+        curate_corpus_v2,
+    )
+    bench_text = "what is the capital of france"
+    docs = spark.createDataFrame([
+        # 1: contaminated (contains the benchmark 3-grams) -> dropped
+        (1, f"padding {bench_text} padding", "en"),
+        # 2: clean, unique passages, no repetition -> survives
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        # 3: all its passages duplicate doc 2's -> n_kept 0 -> dropped
+        (3, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        # 4: heavy bigram repetition -> repetition gate drops it
+        (4, "spam ham spam ham spam ham spam ham spam ham spam ham", "en"),
+        # 5: clean german doc -> survives
+        (5, "eins zwei drei vier fuenf sechs sieben acht", "de"),
+    ], "doc_id long, text string, lang string")
+    bench = spark.createDataFrame([(9, bench_text)],
+                                  "bench_id long, text string")
+    out = {r["doc_id"]: r for r in curate_corpus_v2(
+        docs, bench, words_per_passage=4, max_dup_bigram_frac=0.1,
+        target_shares={"en": 0.5, "de": 0.5}, total=100).collect()}
+    # rates cap at 1.0 (total >> survivors) so every survivor samples
+    assert set(out) == {2, 5}
+    assert out[2]["n_kept"] == 2 and out[2]["dup_bigram_frac"] == 0.0
+    assert out[5]["lang"] == "de"
