@@ -378,6 +378,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return recrawl_delta(d, cur).orderBy("doc_id")
 
+    def q_hits(spark, sf):
+        # HITS hubs/authorities over the fixture link graph; oracle =
+        # pure-python golden twin inlined as VALUES (pagerank pattern)
+        from azuresearchcrawlervector_spark.operators.graph import hits
+        from azuresearchcrawlervector_spark.sources.fixtures import (
+            link_edges, test_website)
+        df = spark.createDataFrame(link_edges(test_website()),
+                                   "src string, dst string")
+        return (hits(df, iters=20)
+                .select("node", F.round("hub", 6).alias("hub"),
+                        F.round("authority", 6).alias("authority"))
+                .orderBy("node"))
+
     def q_pagerank(spark, sf):
         # PageRank over the flagship fixture's link graph (the crawl's
         # frontier-prioritization signal); oracle = pure-python golden
@@ -528,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_counts": q_event_window_counts,
         "session_stats": q_session_stats,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "curation": q_curation,
         "recrawl_delta": q_recrawl_delta,
         "group_counts": q_group_counts,
@@ -804,6 +818,26 @@ def _pagerank_oracle_sql() -> str:
     return f"""
         SELECT node, CAST(rank AS DOUBLE) AS rank
         FROM (VALUES {rows}) AS t(node, rank)
+        ORDER BY node
+    """
+
+
+def _hits_oracle_sql() -> str:
+    """Golden-values oracle for HITS over the fixture link graph —
+    same device as the pagerank twin (hits_local inlined as VALUES,
+    both sides rounded to 6 dp)."""
+    from azuresearchcrawlervector_spark.operators.graph import hits_local
+    from azuresearchcrawlervector_spark.sources.fixtures import (
+        link_edges, test_website)
+
+    hv = hits_local(link_edges(test_website()), iters=20)
+    rows = ", ".join(
+        f"('{node}', {round(h, 6):.6f}, {round(a, 6):.6f})"
+        for node, (h, a) in sorted(hv.items()))
+    return f"""
+        SELECT node, CAST(hub AS DOUBLE) AS hub,
+               CAST(authority AS DOUBLE) AS authority
+        FROM (VALUES {rows}) AS t(node, hub, authority)
         ORDER BY node
     """
 
@@ -1203,6 +1237,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "crawl_flagship": _crawl_flagship_oracle_sql(),
         "minhash_lsh_dups": _minhash_lsh_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "hits": _hits_oracle_sql(),
         # benchmark-contamination: same shingle CTE as the dedup
         # oracles; the benchmark is the doc_id % 29 == 0 slice
         "contamination": r"""

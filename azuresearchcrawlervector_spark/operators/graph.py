@@ -118,3 +118,77 @@ def rank_priorities(frontier_log: DataFrame, iters: int = 20,
             .withColumn("priority",
                         F.format_string("%.12f", F.lit(1.0) - F.col("rank")))
             .select(F.col("node").alias("url"), "rank", "priority"))
+
+
+def hits(edges: DataFrame, iters: int = 20,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, hub, authority) after `iters` rounds of Kleinberg's HITS
+    with L2 normalization each half-step — the hub/authority complement
+    to PageRank for frontier prioritization (a good HUB page is where
+    a crawler harvests many good links per fetch).
+
+    Same scale discipline as pagerank: equi-joins/groupBys on node id
+    only, one row of state per node, eager localCheckpoint per round
+    (O(1) Catalyst analysis; executor loss ⇒ caller-level retry), and
+    the per-round L2 norms are the only driver scalars."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    if nodes.count() == 0:
+        return nodes.withColumn("hub", F.lit(0.0)) \
+                    .withColumn("authority", F.lit(0.0))
+    state = nodes.select("node", F.lit(1.0).alias("hub"),
+                         F.lit(1.0).alias("authority"))
+    for _ in range(iters):
+        # authority(d) = sum of hub(s) over in-edges, then L2-normalize
+        auth = (
+            e.join(state.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        a_norm = auth.agg(
+            F.sqrt(F.sum(F.col("a") * F.col("a")))).collect()[0][0] or 1.0
+        auth = auth.select("node", (F.col("a") / F.lit(a_norm)).alias("a"))
+        # hub(s) = sum of authority(d) over out-edges, L2-normalize
+        hub = (
+            e.join(auth.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h_norm = hub.agg(
+            F.sqrt(F.sum(F.col("h") * F.col("h")))).collect()[0][0] or 1.0
+        hub = hub.select("node", (F.col("h") / F.lit(h_norm)).alias("h"))
+        state = (
+            nodes.join(auth, "node", "left").join(hub, "node", "left")
+            .select("node",
+                    F.coalesce("h", F.lit(0.0)).alias("hub"),
+                    F.coalesce("a", F.lit(0.0)).alias("authority"))
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def hits_local(edges: list[tuple], iters: int = 20) -> dict:
+    """Pure-python golden twin of `hits` (same edge dedup, same L2
+    half-step normalization, sums in sorted-edge order)."""
+    import math
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        na = {v: 0.0 for v in nodes}
+        for s, d in e:
+            na[d] += hub[s]
+        nrm = math.sqrt(sum(x * x for x in na.values())) or 1.0
+        auth = {v: x / nrm for v, x in na.items()}
+        nh = {v: 0.0 for v in nodes}
+        for s, d in e:
+            nh[s] += auth[d]
+        nrm = math.sqrt(sum(x * x for x in nh.values())) or 1.0
+        hub = {v: x / nrm for v, x in nh.items()}
+    return {v: (hub[v], auth[v]) for v in nodes}

@@ -83,3 +83,41 @@ def test_rank_priorities_from_crawl_log(spark, tmp_ckpt):
     assert ranks == sorted(ranks, reverse=True)
     urls = {r["url"] for r in pr}
     assert g.root + "/" in urls or g.root in urls
+
+
+# --------------------------------------------------------------- HITS
+
+def _hits_run(spark, edges, **kw):
+    from azuresearchcrawlervector_spark.operators.graph import hits
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, **kw).collect()}
+
+
+def test_hits_matches_local_golden(spark):
+    from azuresearchcrawlervector_spark.operators.graph import hits_local
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "d"),
+             ("c", "d"), ("d", "a")]
+    got = _hits_run(spark, edges, iters=15)
+    want = hits_local(edges, iters=15)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-9)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-9)
+
+
+def test_hits_hub_authority_structure(spark):
+    # 'hub' links to every authority; authorities all point at 'top'
+    edges = [("hub", "p1"), ("hub", "p2"), ("hub", "p3"),
+             ("p1", "top"), ("p2", "top"), ("p3", "top")]
+    got = _hits_run(spark, edges, iters=20)
+    assert got["hub"][0] == max(h for h, _a in got.values())   # best hub
+    assert got["top"][1] == max(a for _h, a in got.values())   # best auth
+    assert got["top"][0] == 0.0                                # no out-links
+
+
+def test_hits_l2_normalized(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = _hits_run(spark, edges, iters=10)
+    assert sum(h * h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a * a for _, a in got.values()) == pytest.approx(1.0, abs=1e-9)
