@@ -79,8 +79,19 @@ def main():
         out.append("")
         print(name, "audited")
     os.makedirs("BENCH", exist_ok=True)
+    # hand-written audit commentary survives regeneration: everything
+    # from "## Notes" down in the existing file is re-appended
+    notes = ""
+    try:
+        with open("BENCH/PLANS.md") as fh:
+            prev = fh.read()
+        i = prev.find("## Notes")
+        if i >= 0:
+            notes = "\n" + prev[i:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/PLANS.md", "w") as fh:
-        fh.write("\n".join(out))
+        fh.write("\n".join(out) + notes)
     print("wrote BENCH/PLANS.md")
 
 
