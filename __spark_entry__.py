@@ -500,6 +500,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return tfidf_keywords(d, top_k=5).orderBy("doc_id")
 
+    def q_cms_tokens(spark, sf):
+        # Count-Min estimates for every distinct token — exact integer
+        # counters, so the approximate sketch hash-matches its oracle
+        from azuresearchcrawlervector_spark.operators.cms import (
+            cms_heavy_hitters)
+        d = spark.read.parquet(_t(sf, "documents"))
+        toks = d.select(F.explode(F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+        )).alias("tok"))
+        return cms_heavy_hitters(toks, "tok", threshold=1).orderBy("value")
+
     def q_bm25(spark, sf):
         # Okapi BM25 top-10 for a 3-term query over the corpus — the
         # lexical-search complement to the ANN paths
@@ -574,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "bm25_topk": q_bm25,
         "hll_distinct_lang": q_hll_distinct,
+        "cms_token_counts": q_cms_tokens,
         "repetition_stats": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "curation_v2": q_curation_v2,
@@ -1444,6 +1456,33 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, string_agg(tok, ',' ORDER BY sc DESC, tok)
                      AS keywords
             FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY 1
+        """,
+        # Count-Min sketch: md5-60 row hashes mod width, exact-int
+        # counters, est = min over depth rows — hash-matchable
+        "cms_token_counts": r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            tok AS (SELECT unnest(ts) AS tok FROM toks),
+            jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cnt AS (
+              SELECT jj.j,
+                     CAST(concat('0x', substr(md5(concat(
+                          CAST(jj.j AS VARCHAR), ':', tok)), 1, 15))
+                          AS BIGINT) % 1024 AS bucket,
+                     count(*) AS c
+              FROM tok, jj GROUP BY 1, 2),
+            items AS (SELECT DISTINCT tok FROM tok),
+            probe AS (
+              SELECT i.tok AS value, jj.j,
+                     CAST(concat('0x', substr(md5(concat(
+                          CAST(jj.j AS VARCHAR), ':', i.tok)), 1, 15))
+                          AS BIGINT) % 1024 AS bucket
+              FROM items i, jj)
+            SELECT p.value, min(c.c) AS est
+            FROM probe p JOIN cnt c ON p.j = c.j AND p.bucket = c.bucket
+            GROUP BY 1 ORDER BY 1
         """,
         # Gopher repetition signals: every ratio is exact counts
         "repetition_stats": r"""

@@ -176,6 +176,7 @@ SF1_SUITE = [
     "contamination", "passage_dedup", "mixture_sample", "pq_codes",
     "pq_adc_topk", "lm_quality", "bm25_topk", "hll_distinct_lang",
     "repetition_stats", "tfidf_keywords", "curation_v2",
+    "cms_token_counts",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -523,7 +524,7 @@ def main():
         "recrawl_delta", "contamination", "passage_dedup",
         "mixture_sample", "pq_codes", "pq_adc_topk", "lm_quality",
         "bm25_topk", "hll_distinct_lang", "repetition_stats",
-        "tfidf_keywords", "curation_v2",
+        "tfidf_keywords", "curation_v2", "cms_token_counts",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)
