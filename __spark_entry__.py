@@ -511,6 +511,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )).alias("tok"))
         return cms_heavy_hitters(toks, "tok", threshold=1).orderBy("value")
 
+    def q_pack_sequences(spark, sf):
+        # concat-and-chunk packing layout via distributed prefix sum
+        from azuresearchcrawlervector_spark.operators.packing import (
+            pack_sequences)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return pack_sequences(d, seq_len=512).orderBy("doc_id")
+
     def q_bm25(spark, sf):
         # Okapi BM25 top-10 for a 3-term query over the corpus — the
         # lexical-search complement to the ANN paths
@@ -586,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "hll_distinct_lang": q_hll_distinct,
         "cms_token_counts": q_cms_tokens,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "curation_v2": q_curation_v2,
@@ -1483,6 +1491,25 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT p.value, min(c.c) AS est
             FROM probe p JOIN cnt c ON p.j = c.j AND p.bucket = c.bucket
             GROUP BY 1 ORDER BY 1
+        """,
+        # concat-and-chunk packing: ONE global window here (the oracle
+        # runs single-node); the Spark side is the two-level
+        # distributed prefix sum — same exact integers either way
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start
+              FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   start // 512 AS seq_id,
+                   start % 512 AS seq_off
+            FROM c ORDER BY doc_id
         """,
         # Gopher repetition signals: every ratio is exact counts
         "repetition_stats": r"""
