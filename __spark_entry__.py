@@ -511,6 +511,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )).alias("tok"))
         return cms_heavy_hitters(toks, "tok", threshold=1).orderBy("value")
 
+    def q_repeated_spans(spark, sf):
+        # span-level exact-substring duplication (Lee et al. shape)
+        from azuresearchcrawlervector_spark.operators.dedup import (
+            repeated_spans)
+        d = spark.read.parquet(_t(sf, "documents"))
+        return repeated_spans(d, k=5).orderBy("doc_id", "start_tok")
+
     def q_pack_sequences(spark, sf):
         # concat-and-chunk packing layout via distributed prefix sum
         from azuresearchcrawlervector_spark.operators.packing import (
@@ -594,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_lang": q_hll_distinct,
         "cms_token_counts": q_cms_tokens,
         "pack_sequences": q_pack_sequences,
+        "repeated_spans": q_repeated_spans,
         "repetition_stats": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "curation_v2": q_curation_v2,
@@ -1491,6 +1499,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT p.value, min(c.c) AS est
             FROM probe p JOIN cnt c ON p.j = c.j AND p.bucket = c.bucket
             GROUP BY 1 ORDER BY 1
+        """,
+        # maximal duplicated k-gram spans: positions of >=2x 5-grams
+        # chained by the pos - row_number device
+        "repeated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+              FROM documents),
+            ps AS (
+              SELECT doc_id, i.g - 1 AS pos,
+                     array_to_string(ts[i.g:i.g+4], ' ') AS sh
+              FROM toks, (SELECT unnest(generate_series(1, 10000)) AS g) i
+              WHERE i.g <= len(ts) - 4),
+            dup AS (
+              SELECT sh FROM (SELECT sh, count(*) AS c FROM ps GROUP BY 1)
+              WHERE c >= 2),
+            m AS (SELECT doc_id, pos FROM ps
+                  WHERE sh IN (SELECT sh FROM dup)),
+            r AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM m)
+            SELECT doc_id, min(pos) AS start_tok,
+                   max(pos) + 5 AS end_tok,
+                   max(pos) + 5 - min(pos) AS span_len
+            FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_tok
         """,
         # concat-and-chunk packing: ONE global window here (the oracle
         # runs single-node); the Spark side is the two-level

@@ -770,3 +770,48 @@ def passage_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def repeated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, min_count: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring duplication (the Lee et al. 2021
+    "Deduplicating Training Data" shape, at k-gram resolution): find,
+    per document, the MAXIMAL token ranges every position of which
+    starts a word k-gram that occurs at least ``min_count`` times in
+    the whole corpus. Returns (doc_id, start_tok, end_tok, span_len)
+    with token positions 0-based and ``end_tok`` exclusive — callers
+    cut these spans out (finer-grained than passage_dedup's fixed
+    windows, and catches cross-document boilerplate at any alignment).
+
+    Plan: positional shingles (JVM transform + posexplode) → ONE
+    combinable groupBy for global shingle counts → semi-join marks
+    duplicated positions (only duplicated positions survive past this
+    point) → runs via the pos − row_number device (one window over the
+    SURVIVING positions, partitioned by doc) → groupBy(doc, run).
+    """
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    shingle_arr = F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+    )
+    pos_sh = _widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingle_arr).alias("pos", "sh"),
+    )
+    dup = (pos_sh.groupBy("sh").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= min_count).select("sh"))
+    marked = pos_sh.join(dup, "sh", "left_semi").select("doc_id", "pos")
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(F.min("pos").alias("start_tok"),
+             (F.max("pos") + k).alias("end_tok"))
+        .select("doc_id", "start_tok", "end_tok",
+                (F.col("end_tok") - F.col("start_tok")).alias("span_len"))
+    )

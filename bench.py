@@ -176,7 +176,7 @@ SF1_SUITE = [
     "contamination", "passage_dedup", "mixture_sample", "pq_codes",
     "pq_adc_topk", "lm_quality", "bm25_topk", "hll_distinct_lang",
     "repetition_stats", "tfidf_keywords", "curation_v2",
-    "cms_token_counts", "pack_sequences",
+    "cms_token_counts", "pack_sequences", "repeated_spans",
 ]
 _REP_OFF = 10_000_000  # replica id offset: >> any testdata id
 
@@ -525,7 +525,7 @@ def main():
         "mixture_sample", "pq_codes", "pq_adc_topk", "lm_quality",
         "bm25_topk", "hll_distinct_lang", "repetition_stats",
         "tfidf_keywords", "curation_v2", "cms_token_counts",
-        "pack_sequences",
+        "pack_sequences", "repeated_spans",
     ]
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)

@@ -40,3 +40,44 @@ def test_pack_stream_is_gapless(spark):
     for start, n in out:
         assert start == pos
         pos += n
+
+
+# ------------------------------------------------------- repeated spans
+
+def test_repeated_spans_cross_doc(spark):
+    from azuresearchcrawlervector_spark.operators.dedup import repeated_spans
+    common = "one two three four five six"
+    docs = spark.createDataFrame([
+        (1, f"aa bb {common} cc dd"),
+        (2, f"zz {common} yy"),
+        (3, "totally different words here entirely now"),
+    ], "doc_id long, text string")
+    out = {(r["doc_id"]): (r["start_tok"], r["end_tok"], r["span_len"])
+           for r in repeated_spans(docs, k=3).collect()}
+    # doc 1: common run is tokens 2..7 -> k-gram starts 2..5, span [2, 8)
+    assert out[1] == (2, 8, 6)
+    # doc 2: tokens 1..6 -> span [1, 7)
+    assert out[2] == (1, 7, 6)
+    assert 3 not in out
+
+
+def test_repeated_spans_intra_doc_and_merge(spark):
+    from azuresearchcrawlervector_spark.operators.dedup import repeated_spans
+    # the same 3-gram twice WITHIN one doc; two disjoint marked runs
+    docs = spark.createDataFrame([
+        (1, "p q r xx p q r"),
+    ], "doc_id long, text string")
+    out = sorted(map(tuple, repeated_spans(docs, k=3).collect()))
+    assert out == [(1, 0, 3, 3), (1, 4, 7, 3)]
+
+
+def test_repeated_spans_adjacent_positions_merge(spark):
+    from azuresearchcrawlervector_spark.operators.dedup import repeated_spans
+    # two overlapping duplicated k-grams chain into ONE maximal span
+    docs = spark.createDataFrame([
+        (1, "a b c d e"),
+        (2, "a b c d e"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["start_tok"], r["end_tok"])
+           for r in repeated_spans(docs, k=4).collect()}
+    assert out[1] == (0, 5) and out[2] == (0, 5)
