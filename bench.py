@@ -516,10 +516,29 @@ def main():
 
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
+
+    # resilience: persist a parseable partial artifact after every
+    # section, so a wall-clock cap on the calling harness can never
+    # leave BENCH/last_run.json stale or missing again
+    sections: dict = {"partial": True}
+
+    def _flush():
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "last_run.json")
+            with open(path, "w") as fh:
+                fh.write(json.dumps(sections))
+        except OSError:
+            pass
+
     headline = [
         "lineitem_agg", "top_orders", "region_revenue", "budget_window",
+        # emb_neardup (the designated quadratic exact baseline) was
+        # demoted from the timed headline per VERDICT r4 #8 once the
+        # suite grew past the original size: it remains a CORRECTNESS
+        # query and the LSH path's recall cross-check in tests.
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dups",
-        "simhash64", "hamming_pairs", "emb_neardup", "emb_neardup_lsh",
+        "simhash64", "hamming_pairs", "emb_neardup_lsh",
         "ann_topk", "ann_topk_ivf", "session_stats", "curation",
         "recrawl_delta", "contamination", "passage_dedup",
         "mixture_sample", "pq_codes", "pq_adc_topk", "lm_quality",
@@ -530,24 +549,34 @@ def main():
     for name in headline:
         sec, _n = time_query(qs[name], spark, sf_dir)
         qtimes[name] = round(sec, 3)
+    sections["queries"] = qtimes
+    _flush()
 
     jpeg_row = {}
     if os.environ.get("BENCH_SKIP_JPEG") != "1":
         jpeg_row = jpeg_decode_bench()
+    sections["jpeg_decode"] = jpeg_row
+    _flush()
 
     ivf_skew = {}
     if os.environ.get("BENCH_SKIP_IVF_SKEW") != "1":
         ivf_skew = ivf_skew_bench(spark)
+    sections["ivf_skew"] = ivf_skew
+    _flush()
 
     ivfpq = {}
     if os.environ.get("BENCH_SKIP_IVFPQ") != "1":
         ivfpq = ivfpq_bench(spark)
+    sections["ivfpq"] = ivfpq
+    _flush()
 
     sf1 = {}
     if os.environ.get("BENCH_SKIP_SF1") != "1":
         sf1 = sf1_bench(spark, qs, sf_dir, qtimes)
         for name, r in sf1["queries"].items():
             qtimes[f"{name}_sf1"] = r["sf1_sec"]
+    sections["sf1"] = sf1
+    _flush()
 
     crawl, crawl_bound = {}, {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
