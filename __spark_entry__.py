@@ -518,6 +518,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf, "documents"))
         return repeated_spans(d, k=5).orderBy("doc_id", "start_tok")
 
+    def q_anchor_texts(spark, sf):
+        # anchor-text aggregation per link target over the fixture
+        # site (golden-twin oracle, pagerank pattern)
+        from azuresearchcrawlervector_spark.operators.anchors import (
+            anchor_text_table)
+        from azuresearchcrawlervector_spark.sources.fixtures import (
+            test_website)
+        from azuresearchcrawlervector_spark.sources.synthetic import (
+            pages_df)
+        pg = pages_df(spark, test_website()).select("url", "html")
+        return anchor_text_table(pg).orderBy("target")
+
     def q_pack_sequences(spark, sf):
         # concat-and-chunk packing layout via distributed prefix sum
         from azuresearchcrawlervector_spark.operators.packing import (
@@ -602,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_tokens,
         "pack_sequences": q_pack_sequences,
         "repeated_spans": q_repeated_spans,
+        "anchor_texts": q_anchor_texts,
         "repetition_stats": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "curation_v2": q_curation_v2,
@@ -867,6 +880,33 @@ def _hits_oracle_sql() -> str:
                CAST(authority AS DOUBLE) AS authority
         FROM (VALUES {rows}) AS t(node, hub, authority)
         ORDER BY node
+    """
+
+
+def _anchors_oracle_sql() -> str:
+    """Golden-values oracle for anchor_text_table over the fixture
+    pages (pages tables are not registered driver-side, so the
+    pure-python twin — same parser, canonicalization, aggregation —
+    is inlined as VALUES; the pagerank device)."""
+    from azuresearchcrawlervector_spark.operators.anchors import (
+        anchor_text_local)
+    from azuresearchcrawlervector_spark.sources.fixtures import test_website
+    from azuresearchcrawlervector_spark.sources.synthetic import pages_rows
+
+    pages = [(r[0], r[3]) for r in pages_rows(test_website())]
+    want = anchor_text_local(pages)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({q(t)}, {n}, {ns}, {q(a)})"
+        for t, (n, ns, a) in sorted(want.items()))
+    return f"""
+        SELECT target, CAST(n_refs AS BIGINT) AS n_refs,
+               CAST(n_sources AS BIGINT) AS n_sources, anchors
+        FROM (VALUES {rows}) AS t(target, n_refs, n_sources, anchors)
+        ORDER BY target
     """
 
 
@@ -1266,6 +1306,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "minhash_lsh_dups": _minhash_lsh_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "hits": _hits_oracle_sql(),
+        "anchor_texts": _anchors_oracle_sql(),
         # benchmark-contamination: same shingle CTE as the dedup
         # oracles; the benchmark is the doc_id % 29 == 0 slice
         "contamination": r"""
