@@ -530,6 +530,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pg = pages_df(spark, test_website()).select("url", "html")
         return anchor_text_table(pg).orderBy("target")
 
+    def q_length_quantiles(spark, sf):
+        # exact interpolated quantiles of doc length per lang: Spark's
+        # percentile() and DuckDB's quantile_cont share the
+        # rank = p*(n-1) continuous definition
+        d = spark.read.parquet(_t(sf, "documents"))
+        return (d.groupBy("lang").agg(
+                    F.round(F.expr("percentile(n_chars, 0.25)"), 4)
+                     .alias("p25"),
+                    F.round(F.expr("percentile(n_chars, 0.5)"), 4)
+                     .alias("p50"),
+                    F.round(F.expr("percentile(n_chars, 0.75)"), 4)
+                     .alias("p75"))
+                .orderBy("lang"))
+
     def q_pack_sequences(spark, sf):
         # concat-and-chunk packing layout via distributed prefix sum
         from azuresearchcrawlervector_spark.operators.packing import (
@@ -615,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repeated_spans": q_repeated_spans,
         "anchor_texts": q_anchor_texts,
+        "length_quantiles": q_length_quantiles,
         "repetition_stats": q_repetition,
         "tfidf_keywords": q_tfidf_keywords,
         "curation_v2": q_curation_v2,
@@ -1566,6 +1581,14 @@ def _oracle_sql_base() -> dict[str, str]:
                    max(pos) + 5 AS end_tok,
                    max(pos) + 5 - min(pos) AS span_len
             FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_tok
+        """,
+        # exact continuous quantiles: same rank = p*(n-1) definition
+        "length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # concat-and-chunk packing: ONE global window here (the oracle
         # runs single-node); the Spark side is the two-level
