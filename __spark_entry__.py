@@ -1552,8 +1552,9 @@ def _oracle_sql_base() -> dict[str, str]:
                           CAST(jj.j AS VARCHAR), ':', i.tok)), 1, 15))
                           AS BIGINT) % 1024 AS bucket
               FROM items i, jj)
-            SELECT p.value, min(c.c) AS est
-            FROM probe p JOIN cnt c ON p.j = c.j AND p.bucket = c.bucket
+            SELECT p.value, min(coalesce(c.c, 0)) AS est
+            FROM probe p LEFT JOIN cnt c
+              ON p.j = c.j AND p.bucket = c.bucket
             GROUP BY 1 ORDER BY 1
         """,
         # maximal duplicated k-gram spans: positions of >=2x 5-grams
@@ -1651,7 +1652,7 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT lang,
                      CAST(concat('0x', substr(md5(CAST(text AS VARCHAR)),
                           1, 15)) AS BIGINT) AS hv
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             regs AS (
               SELECT lang, hv >> 52 AS idx,
                      max(CASE WHEN (hv & 4503599627370495) = 0 THEN 53

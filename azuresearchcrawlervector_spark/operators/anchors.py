@@ -34,18 +34,30 @@ class _AnchorParser(HTMLParser):
         self._href: str | None = None
         self._buf: list[str] = []
 
+    def _flush(self):
+        if self._href is not None:
+            text = " ".join("".join(self._buf).split())
+            self.out.append((self._href, text))
+            self._href = None
+
     def handle_starttag(self, tag, attrs):
         if tag == "a":
+            # browsers auto-close an open <a> when the next one starts
+            # (anchors cannot nest); malformed real-web HTML must not
+            # silently lose the first link
+            self._flush()
             href = dict(attrs).get("href")
             if href is not None:
                 self._href = href
                 self._buf = []
 
     def handle_endtag(self, tag):
-        if tag == "a" and self._href is not None:
-            text = " ".join("".join(self._buf).split())
-            self.out.append((self._href, text))
-            self._href = None
+        if tag == "a":
+            self._flush()
+
+    def close(self):
+        super().close()
+        self._flush()               # unclosed trailing anchor at EOF
 
     def handle_data(self, data):
         if self._href is not None:

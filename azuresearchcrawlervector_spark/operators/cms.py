@@ -63,8 +63,12 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
         ])).alias("r"),
     ).select("value", F.col("r.j").alias("j"),
              F.col("r.bucket").alias("bucket"))
-    return (probes.join(sketch, ["j", "bucket"])
-            .groupBy("value").agg(F.min("c").alias("est")))
+    # LEFT join: an item whose (j, bucket) counter was never touched
+    # reads 0 — a true CMS array cell — instead of being dropped (or
+    # min'd over only its collided rows) by an inner join
+    return (probes.join(sketch, ["j", "bucket"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")))
 
 
 def cms_heavy_hitters(df: DataFrame, value_col: str, threshold: int,

@@ -86,9 +86,14 @@ def decontaminate(
     benchmark-shingle overlap ratio EXCEEDS ``max_ratio`` (default 0.0
     = drop on any verbatim k-gram hit, the strict published policy).
     Returns the original rows of ``docs``, schema unchanged."""
+    # compare on the EXACT counts, not the display-rounded ratio: a
+    # multi-million-shingle doc with one verbatim hit rounds to
+    # contam = 0.0 and would otherwise survive the strict policy
     flagged = contamination_report(
         docs, benchmark, k=k, min_ratio=0.0,
         text_col=text_col, id_col=id_col,
         bench_text_col=bench_text_col, bench_id_col=bench_id_col,
-    ).filter(F.col("contam") > max_ratio).select(F.col("doc_id").alias(id_col))
+    ).filter(
+        F.col("n_hit") > F.lit(float(max_ratio)) * F.col("n_shingles")
+    ).select(F.col("doc_id").alias(id_col))
     return docs.join(flagged, on=id_col, how="left_anti")

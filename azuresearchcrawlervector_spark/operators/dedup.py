@@ -729,7 +729,9 @@ def passage_dedup(
     groupBy(doc_id) over the kept rows only. No UDFs, no window, no
     driver state.
     """
-    toks = f"split(lower({text_col}), '\\\\s+')"
+    # coalesce: a NULL text must survive as one empty passage (the
+    # "EVERY input document" contract), not vanish via posexplode(NULL)
+    toks = f"split(lower(coalesce({text_col}, '')), '\\\\s+')"
     if words_per_passage > 0:
         w = words_per_passage
         seg_arr = F.expr(
@@ -738,7 +740,7 @@ def passage_dedup(
             f" g -> concat_ws(' ', slice({toks}, (g - 1) * {w} + 1, {w}))) END"
         )
     else:
-        seg_arr = F.split(F.col(text_col), sep)
+        seg_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     segs = _widen(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(seg_arr).alias("pos", "passage"),

@@ -149,6 +149,7 @@ def hits(edges: DataFrame, iters: int = 20,
             e.join(state.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("a"))
+            .localCheckpoint(eager=True)   # norm collect + join reuse ONE computation
         )
         a_norm = auth.agg(
             F.sqrt(F.sum(F.col("a") * F.col("a")))).collect()[0][0] or 1.0
@@ -158,6 +159,7 @@ def hits(edges: DataFrame, iters: int = 20,
             e.join(auth.select(F.col("node").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
         )
         h_norm = hub.agg(
             F.sqrt(F.sum(F.col("h") * F.col("h")))).collect()[0][0] or 1.0

@@ -58,8 +58,12 @@ def hll_registers(
     wv = f"({h} & {(1 << w) - 1}L)"
     rho = (f"CASE WHEN {wv} = 0 THEN {w + 1}"
            f" ELSE {w} + 1 - length(bin({wv})) END")
+    # NULL values are "no value": md5(NULL) would otherwise produce a
+    # NULL register row that inflates the non-empty count without
+    # contributing to the harmonic sum
     return (
-        df.select(*gs, F.expr(idx).alias("_idx"), F.expr(rho).alias("_rho"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gs, F.expr(idx).alias("_idx"), F.expr(rho).alias("_rho"))
         .groupBy(*gs, "_idx").agg(F.max("_rho").alias("_rho"))
     )
 

@@ -66,6 +66,14 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
     model = c2.join(c1, "w1").select("bg", "w1", "c2", "c1")
     if min_count > 1:
         model = model.filter(F.col("c2") >= min_count)
+        # pruning must not lose PREFIX marginals: a prefix whose every
+        # bigram was pruned still needs its true c1 at scoring time
+        # (bg = NULL rows never match the scoring join on bg, they
+        # exist only to carry c1)
+        orphans = c1.join(model.select("w1").distinct(), "w1", "left_anti")
+        model = model.unionByName(
+            orphans.select(F.lit(None).cast("string").alias("bg"), "w1",
+                           F.lit(None).cast("long").alias("c2"), "c1"))
     return model, v
 
 
@@ -122,13 +130,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
     One explode + one groupBy(doc, bigram) + one groupBy(doc) — all
     combinable; every ratio is exact ints, rounded to 6 (SQL-twin
-    stable). Docs with < 2 tokens have no bigrams: the bigram
-    fractions are 0.0 by definition and n_tokens still reports."""
+    stable). Docs with exactly 1 token have no bigrams (fractions 0.0,
+    n_tokens still reports); ZERO-token docs are omitted — the same
+    contract as the DuckDB twin, which unnests an empty token list to
+    no rows."""
     toks = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.expr(_TOKS.format(col=text_col)).alias("_ts"))
         .select("doc_id", F.size("_ts").alias("n_tokens"),
-                F.explode_outer("_ts").alias("tok"))
+                F.explode("_ts").alias("tok"))
     )
     tok_top = (
         toks.groupBy("doc_id", "tok")

@@ -40,10 +40,16 @@ def pack_sequences(
 
     ``shard_size`` is the id range per prefix-sum shard: parallelism =
     id_range / shard_size, driver state = one long per shard."""
+    from pyspark.sql.types import IntegralType
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
+        raise TypeError(
+            f"pack_sequences needs an integral id column, got "
+            f"{df.schema[id_col].dataType} for {id_col!r}")
     t = df.select(
         F.col(id_col).alias("doc_id"),
         token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
-        (F.col(id_col) / shard_size).cast("long").alias("_shard"),
+        F.expr(f"CAST({id_col} AS BIGINT) DIV {int(shard_size)}")
+         .alias("_shard"),
     )
     w = (Window.partitionBy("_shard").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

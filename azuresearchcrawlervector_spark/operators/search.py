@@ -55,6 +55,11 @@ def bm25_search_index(
     terms = sorted({t for t in query.lower().split() if t})
     n_docs, avgdl = doclens.agg(
         F.count("*"), F.avg("dl")).first()
+    if not n_docs or avgdl is None or not terms:
+        # empty corpus / all-empty docs / empty query: empty result,
+        # not a float(None) crash
+        return (doclens.select(F.col("doc_id"),
+                               F.lit(0.0).alias("score")).limit(0))
     hit = postings.filter(F.col("tok").isin(terms))
     dfreq = hit.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     idf = dfreq.withColumn(

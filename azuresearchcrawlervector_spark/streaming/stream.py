@@ -339,9 +339,10 @@ def with_streaming_hll(stream_df: DataFrame, value_col: str = "url",
         else:
             regs, n = bytearray(p), 0
         for pdf in pdfs:
-            for v in pdf[value_col]:
+            vals = pdf[value_col].dropna()   # batch-operator parity:
+            for v in vals:                   # NULL is "no value"
                 register_update(regs, v, b)
-            n += len(pdf)
+            n += len(vals)
         state.update((bytes(regs), n))
         yield pd.DataFrame(
             [(g, n, estimate_from_registers(regs, b))],

@@ -43,3 +43,11 @@ def test_anchor_table_matches_local_twin_on_fixture(spark):
         [(r["url"], r["html"]) for r in pg.collect()])
     assert got == want
     assert len(got) > 5
+
+
+def test_extract_anchors_malformed_autoclose_and_eof():
+    # browsers auto-close an open <a> at the next <a>; and an unclosed
+    # trailing anchor must still be emitted
+    html = '<a href="/x">one<a href="/y">two</a><a href="/z">tail'
+    assert extract_anchors(html) == [
+        ("/x", "one"), ("/y", "two"), ("/z", "tail")]

@@ -60,3 +60,17 @@ def test_probe_join_broadcasts(spark):
     plan = (cms_heavy_hitters(df, "tok", threshold=10)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Cartesian" not in plan
+
+
+def test_estimate_absent_item_is_zero(spark):
+    from azuresearchcrawlervector_spark.operators.cms import cms_sketch
+    df = spark.range(1000).selectExpr("concat('t', id % 10) AS tok")
+    sk = cms_sketch(df, "tok")
+    items = spark.createDataFrame(
+        [("t3",), ("never-counted-item-xyz",)], "tok string")
+    got = {r["value"]: r["est"] for r in
+           cms_estimate(sk, items, "tok").collect()}
+    assert got["t3"] >= 100
+    # an uncounted item reads its (likely untouched) counters: with 10
+    # distinct values over 4x1024 cells the min is 0, never a dropped row
+    assert got["never-counted-item-xyz"] == 0

@@ -121,3 +121,11 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     # 900 distinct urls over 3 hosts -> ~300 each
     for _h, (_n, e) in final.items():
         assert abs(e - 300) / 300 < 0.2
+
+
+def test_hll_null_values_are_no_value(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(100)] + [(None,)] * 5, "u string")
+    with_nulls = hll_distinct(df, "u").collect()[0]["est"]
+    without = hll_distinct(df.filter("u IS NOT NULL"), "u").collect()[0]["est"]
+    assert with_nulls == without

@@ -102,3 +102,17 @@ def test_repetition_flags_boilerplate(spark):
     out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
     assert out[1]["dup_bigram_frac"] > 0.9
     assert out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_min_count_keeps_orphan_prefix_marginals(spark):
+    # prefix 'c' loses its ONLY bigram to pruning; its true c1 must
+    # still reach scoring (via a bg=NULL carrier row), not default to 0
+    train = _docs(spark, [(1, "a b a b c d c e")])
+    model, v = train_bigram_lm(train, min_count=2)
+    c1 = {r["w1"]: r["c1"] for r in
+          model.select("w1", "c1").distinct().collect()}
+    assert c1["c"] == 2                      # carried by an orphan row
+    out = lm_score(_docs(spark, [(9, "c z")]), model, v).collect()[0]
+    # P = (0 + .5) / (c1('c')=2 + .5*V)
+    assert abs(out["avg_logp"]
+               - round(math.log10(0.5 / (2 + 0.5 * v)), 4)) < 1e-9

@@ -81,3 +81,20 @@ def test_repeated_spans_adjacent_positions_merge(spark):
     out = {r["doc_id"]: (r["start_tok"], r["end_tok"])
            for r in repeated_spans(docs, k=4).collect()}
     assert out[1] == (0, 5) and out[2] == (0, 5)
+
+
+def test_pack_rejects_non_integral_id(spark):
+    import pytest
+    df = spark.createDataFrame([("k1", "a b")], "doc_id string, text string")
+    with pytest.raises(TypeError):
+        pack_sequences(df)
+
+
+def test_passage_dedup_null_text_survives(spark):
+    from azuresearchcrawlervector_spark.operators.dedup import passage_dedup
+    df = spark.createDataFrame([(1, "alpha beta"), (2, None)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           passage_dedup(df, words_per_passage=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_kept"] in (0, 1)   # empty passage, never dropped

@@ -113,3 +113,10 @@ def test_tfidf_no_window_single_doc_shuffle(spark):
     plan = (tfidf_keywords(df, top_k=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_bm25_empty_corpus_and_empty_query(spark):
+    empty = _docs(spark, [])
+    assert bm25_topk(empty, "spark").collect() == []
+    df = _docs(spark, CORPUS)
+    assert bm25_topk(df, "   ").collect() == []
