@@ -353,3 +353,58 @@ def with_streaming_hll(stream_df: DataFrame, value_col: str = "url",
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def with_streaming_cms(stream_df: DataFrame, value_col: str = "url",
+                       group_col: str = "host", threshold: int = 100,
+                       depth: int = 4, width: int = 1024) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-group Count-Min heavy-hitter alarm that persists ACROSS
+    micro-batches — the streaming twin of operators/cms (live hot-URL /
+    hot-path detection feeding adaptive politeness). Each micro-batch
+    emits (group, value, est) for every DISTINCT value seen in that
+    batch whose updated CM estimate has reached ``threshold`` — the
+    arrival-driven alert pattern (a value alerts again on later
+    batches while it keeps arriving; dedupe downstream if needed).
+
+    State = ONE depth×width int64 counter array per group (32 KB at
+    the defaults — fixed, independent of distinct count), updated with
+    the SAME md5 bucket math as the batch operator, so after any
+    stream prefix the emitted estimates equal cms_estimate over the
+    same rows. One-sided like the batch sketch: a true heavy hitter is
+    never missed; collisions can only alert early. NULL values skip
+    (batch parity)."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType as _B, StructType as _S
+
+    from ..operators.cms import bucket_py, counters_update, estimate_py
+
+    out_schema = f"{group_col} string, value string, est long"
+    state_schema = _S([StructField("counters", _B(), False)])
+
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (g,) = key
+        if state.exists:
+            counters = np.frombuffer(state.get[0], dtype=np.int64).copy()
+        else:
+            counters = np.zeros(depth * width, dtype=np.int64)
+        seen: set = set()
+        for pdf in pdfs:
+            for v in pdf[value_col].dropna():
+                counters_update(counters, v, depth, width)
+                seen.add(v)
+        state.update((counters.tobytes(),))
+        hot = [(g, str(v), int(estimate_py(counters, v, depth, width)))
+               for v in sorted(seen)
+               if estimate_py(counters, v, depth, width) >= threshold]
+        if hot:
+            yield pd.DataFrame(hot, columns=[group_col, "value", "est"])
+
+    return (
+        stream_df.groupBy(group_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
