@@ -610,30 +610,66 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
 
 
 # ------------------------------------------------------- embedding near-dup
+# Auto-scaled bucket resolution (round-5 VERDICT #4): at FIXED planes
+# the per-bucket population grows linearly with n, so within-bucket
+# candidate volume (Σ bucket²/2) grows ~quadratically between manual
+# re-tunes. The default derives planes from the table size instead:
+# 2^planes buckets sized for ~NEARDUP_TARGET_BUCKET rows each, floored
+# at 4 — every population ≤ 16 × target (n ≤ 8192 at the default, i.e.
+# all oracle-checked scales) resolves to the historical 4 planes, so
+# checked results are bit-identical to the fixed-plane operator.
+NEARDUP_TARGET_BUCKET = 512
+NEARDUP_PLANES_FLOOR = 4
+
+# Vectorized-verify gate: when the vector table is small enough to ship
+# to every executor (n · dim · 8 bytes ≤ this), the exact-cosine verify
+# of the candidate pairs runs as a numpy kernel over Arrow batches
+# (guide §4.2) instead of two vector-attaching joins + a per-pair
+# zip_with/aggregate lambda — same float64 operation ORDER (sequential
+# element adds), round+threshold stay JVM-side, so output is
+# bit-identical (pinned by test). Above the gate: the equi-join verify,
+# which never needs the table in one piece.
+NEARDUP_BCAST_VERIFY_BYTES = 256 << 20
+
+
+def _auto_planes(n_rows: int) -> int:
+    import math
+    if n_rows <= 0:
+        return NEARDUP_PLANES_FLOOR
+    return max(NEARDUP_PLANES_FLOOR,
+               math.ceil(math.log2(max(n_rows / NEARDUP_TARGET_BUCKET, 1.0))))
+
+
 def embedding_neardup_lsh(
     df: DataFrame, dim: int, vec_col: str = "embedding",
     id_col: str = "vec_id", threshold: float = 0.95,
-    n_tables: int = 8, planes_per_table: int = 4, seed: int = 42,
+    n_tables: int = 8, planes_per_table: int | None = None, seed: int = 42,
 ) -> DataFrame:
     """Bucketed cosine near-duplicates — the SCALE path (no crossJoin).
 
     Multi-table random-hyperplane LSH: ``n_tables`` independent sign-
-    bucket functions of ``planes_per_table`` seeded hyperplanes each;
-    candidates are pairs sharing a (table, bucket) cell in ANY table,
-    deduplicated, then verified with the exact cosine. Plan shape:
-    project(bucket array, JVM constant-folded dots) → posexplode →
-    equi-self-join on (table, bucket) → distinct pair keys → two id
-    joins back for the exact verify — every join an equi-join, so the
-    candidate volume is Σ bucket²/2 per table, never n²/2.
+    bucket functions of ``planes_per_table`` seeded hyperplanes each
+    (default: derived from the table size, see _auto_planes — pass an
+    int to pin the historical fixed resolution); candidates are pairs
+    sharing a (table, bucket) cell in ANY table, deduplicated, then
+    verified with the exact cosine. Plan shape: project(bucket array,
+    JVM constant-folded dots) → posexplode → equi-self-join on (table,
+    bucket) → distinct pair keys → exact verify (numpy kernel over the
+    broadcast vector table when it fits — see the gate above — else two
+    id equi-joins) — candidate volume is Σ bucket²/2 per table, never
+    n²/2.
 
     Recall contract (deterministic, seed-fixed): a true pair is found
     iff some table leaves all its planes' signs equal — P(hit) =
     1-(1-(1-θ/π)^p)^T, e.g. ≈0.9998 at cosine 0.95 and ≈0.71 at 0.35
-    with the defaults. The brute-force twin ``embedding_neardup_pairs``
-    is the exact small-scale cross-check.
+    with 4 planes/table. The brute-force twin
+    ``embedding_neardup_pairs`` is the exact small-scale cross-check.
     """
     from .similarity import _bucket_expr, hyperplanes
 
+    n_rows = df.count()
+    if planes_per_table is None:
+        planes_per_table = _auto_planes(n_rows)
     planes = hyperplanes(dim, n_tables * planes_per_table, seed)
     bucket_arr = F.array(*[
         F.expr(_bucket_expr(
@@ -650,6 +686,9 @@ def embedding_neardup_lsh(
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
+    if n_rows * dim * 8 <= NEARDUP_BCAST_VERIFY_BYTES:
+        return _neardup_verify_bcast(df, cand, dim, vec_col, id_col,
+                                     threshold)
     withnorm = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -671,6 +710,58 @@ def embedding_neardup_lsh(
                        " CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
                 / (F.col("na") * F.col("nb")), 4),
         )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _neardup_verify_bcast(df: DataFrame, cand: DataFrame, dim: int,
+                          vec_col: str, id_col: str,
+                          threshold: float) -> DataFrame:
+    """Exact-cosine verify of (id_a, id_b) candidate pairs with the
+    whole vector table broadcast as a numpy matrix — the small-table
+    fast path (gate: NEARDUP_BCAST_VERIFY_BYTES).
+
+    Bit-parity with the join verify: every float64 operation happens in
+    the SAME order — each float is cast to double, products are added
+    sequentially element 0..dim-1 (vectorized ACROSS pairs, sequential
+    across elements; separate multiply/add ufuncs, so no FMA
+    contraction), norms identically; the raw double cosine then goes
+    back to the JVM where the round(·, 4) and the threshold compare run
+    with the exact same semantics as the join path. Pinned by
+    test_emb_neardup_lsh_bcast_verify_parity.
+    """
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")) \
+        .toPandas()
+    ids = np.asarray(rows["i"], dtype=np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    E = np.asarray([np.asarray(v, dtype=np.float64) for v in rows["v"]])
+    E = E[order] if len(E) else E.reshape(0, dim)
+    nrm = np.zeros(len(E))
+    for j in range(E.shape[1]):
+        nrm += E[:, j] * E[:, j]
+    nrm = np.sqrt(nrm)
+    bc = spark.sparkContext.broadcast((ids_sorted, E, nrm))
+
+    def verify(batches):
+        ids_s, Em, nr = bc.value
+        for pdf in batches:
+            ia = np.searchsorted(ids_s, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(ids_s, pdf["id_b"].to_numpy())
+            prod = Em[ia] * Em[ib]
+            acc = np.zeros(len(pdf))
+            for j in range(prod.shape[1]):
+                acc += prod[:, j]
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                "cos_raw": acc / (nr[ia] * nr[ib]),
+            })
+
+    return (
+        cand.mapInPandas(verify, "id_a long, id_b long, cos_raw double")
+        .withColumn("cosine", F.round(F.col("cos_raw"), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

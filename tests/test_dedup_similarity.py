@@ -166,6 +166,43 @@ def test_embedding_neardup_lsh(spark, embs):
     assert not hot or len(found) / len(hot) >= 0.9, (len(found), len(hot))
 
 
+def test_emb_neardup_lsh_bcast_verify_parity(spark, embs):
+    """The broadcast-numpy verify kernel must be BIT-identical to the
+    equi-join verify (same float64 op order, round+filter JVM-side):
+    same pairs, same cosines, at the default and a non-default
+    threshold."""
+    from azuresearchcrawlervector_spark.operators import dedup
+
+    for thr in (0.35, 0.5):
+        fast = sorted(map(tuple, dedup.embedding_neardup_lsh(
+            embs, dim=64, threshold=thr).collect()))
+        gate = dedup.NEARDUP_BCAST_VERIFY_BYTES
+        try:
+            dedup.NEARDUP_BCAST_VERIFY_BYTES = -1  # force join verify
+            slow = sorted(map(tuple, dedup.embedding_neardup_lsh(
+                embs, dim=64, threshold=thr).collect()))
+        finally:
+            dedup.NEARDUP_BCAST_VERIFY_BYTES = gate
+        assert fast == slow
+        if thr == 0.35:
+            assert fast  # non-degenerate at the loose threshold
+
+
+def test_emb_neardup_lsh_auto_planes():
+    """Auto bucket resolution (VERDICT r5 #4): every oracle-checked
+    population resolves to the historical 4 planes (bit-stable results
+    ≤ 8192 rows); 10x-bench-sized tables rescale to 6; growth is
+    logarithmic in n."""
+    from azuresearchcrawlervector_spark.operators.dedup import _auto_planes
+
+    assert _auto_planes(0) == 4
+    assert _auto_planes(500) == 4      # sf0.001/sf0.01 check tables
+    assert _auto_planes(2_000) == 4    # sf0.1 embeddings
+    assert _auto_planes(8_192) == 4    # floor boundary
+    assert _auto_planes(20_000) == 6   # the 10x bench table
+    assert _auto_planes(2_000_000) == 12
+
+
 # ------------------------------------------------------------- similarity
 def test_topk_cosine_exact(spark, embs):
     q = embs.filter("vec_id = 0").collect()[0]["embedding"]
