@@ -223,17 +223,17 @@ def minhash_signatures(
     exact uint64 arithmetic — the whole Arrow batch's shingles are
     permuted in ONE (ΣN, n_hashes) vectorized pass with a per-doc
     segmented min (minimum.reduceat).
+
+    md5_60 fast path: tokenize → shingle → dedup → md5 all run as JVM
+    built-ins (split / transform / array_distinct / md5 / conv — guide
+    §4: only the columns the kernel needs cross the Python boundary),
+    so the Arrow batches carry array<long> hash sets instead of raw
+    text and the Python side is ONLY the vectorized permute+min. The
+    blake2b path keeps the in-Python shingle hash (no JVM blake2b).
+    Both paths produce identical signatures for identical shingle
+    hashes (pinned by test_minhash_md5_jvm_matches_python).
     """
     import hashlib
-
-    if shingle_hash == "md5_60":
-        def _sh(s: str) -> int:
-            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-    else:
-        def _sh(s: str) -> int:
-            return int.from_bytes(
-                hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                "little") % MERSENNE61
 
     # the signature kernel is the CPU-heavy stage — if the input scan
     # produced fewer splits than cores (small file, one row-group), the
@@ -244,6 +244,77 @@ def minhash_signatures(
     a_params, b_params = _minhash_params(n_hashes, seed)
     a64 = a_params.astype(np.uint64)
     b64 = b_params.astype(np.uint64)
+
+    if shingle_hash == "md5_60":
+        # two projections so `_ts` is materialized ONCE per row — an
+        # inlined split() would re-evaluate per lambda element (the
+        # lm.py _BIGRAMS device)
+        # coalesce: NULL text must behave like the Python kernel's
+        # (t or "") — zero shingles, all-zero signature
+        toks = (f"filter(split(lower(coalesce({text_col}, '')),"
+                f" '\\\\s+'), x -> x != '')")
+        sh = (f"CASE WHEN size(_ts) = 0 THEN array() "
+              f"WHEN size(_ts) < {k} THEN array(concat_ws(' ', _ts)) "
+              f"ELSE array_distinct(transform("
+              f"sequence(1, size(_ts) - {k - 1}),"
+              f" i -> concat_ws(' ', slice(_ts, i, {k})))) END")
+        h_arr = (f"transform({sh}, s -> "
+                 f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))")
+        hashed = (
+            df.select(F.col(id_col).alias("doc_id"),
+                      F.expr(toks).alias("_ts"))
+            .select("doc_id", F.expr(h_arr).alias("_hs"))
+        )
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def sig_from_hashes(hs_col: pd.Series) -> pd.Series:
+            per_doc: list[np.ndarray | None] = []
+            parts: list[np.ndarray] = []
+            pos = 0
+            for hs in hs_col:
+                n = len(hs)
+                if n == 0:
+                    per_doc.append(None)
+                    continue
+                parts.append(np.asarray(hs, dtype=np.int64))
+                per_doc.append(np.arange(pos, pos + n))
+                pos += n
+            if parts:
+                hsarr = np.concatenate(parts).astype(np.uint64)
+                offsets = np.asarray(
+                    [idx[0] for idx in per_doc if idx is not None],
+                    dtype=np.intp)
+                ends = np.append(offsets[1:], len(hsarr))
+                mins_parts, d0 = [], 0
+                n_docs = len(offsets)
+                while d0 < n_docs:
+                    d1 = d0 + 1
+                    while (d1 < n_docs
+                           and ends[d1 - 1] - offsets[d0] < chunk_shingles):
+                        d1 += 1
+                    lo, hi = offsets[d0], ends[d1 - 1]
+                    perm = _permute61(hsarr[lo:hi], a64, b64)
+                    mins_parts.append(np.minimum.reduceat(
+                        perm, offsets[d0:d1] - lo, axis=0))
+                    d0 = d1
+                mins = np.concatenate(mins_parts, axis=0)
+            zeros = [0] * n_hashes
+            out, mi = [], 0
+            for idx in per_doc:
+                if idx is None:
+                    out.append(zeros)
+                else:
+                    out.append(mins[mi].astype(np.int64).tolist())
+                    mi += 1
+            return pd.Series(out)
+
+        return hashed.select(
+            "doc_id", sig_from_hashes(F.col("_hs")).alias("sig"))
+
+    def _sh(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(),
+            "little") % MERSENNE61
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(text: pd.Series) -> pd.Series:

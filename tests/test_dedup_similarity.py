@@ -110,6 +110,54 @@ def test_minhash_chunked_matches_unchunked(spark):
     assert full == tiny
 
 
+def test_minhash_md5_jvm_matches_python(spark, docs):
+    """The md5_60 JVM shingle/hash path (split/transform/array_distinct/
+    md5/conv built-ins feeding the permute-only kernel) must reproduce
+    the pure-python shingle hashing bit for bit — including NULL/empty
+    text (all-zero signature) and the <k-words single-shingle case."""
+    import hashlib
+
+    rows = [(1, "alpha beta gamma delta"), (2, "one two"), (3, ""),
+            (4, None), (5, "  padded   whitespace\ttabs\nnewlines  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["sig"]) for r in
+           minhash_signatures(df, shingle_hash="md5_60").collect()}
+    a, b = __import__(
+        "azuresearchcrawlervector_spark.operators.dedup",
+        fromlist=["_minhash_params"])._minhash_params(64)
+    M = (1 << 61) - 1
+    for doc_id, text in rows:
+        words = (text or "").lower().split()
+        if len(words) < 3:
+            shingles = {" ".join(words)} if words else set()
+        else:
+            shingles = {" ".join(words[i:i + 3])
+                        for i in range(len(words) - 2)}
+        if not shingles:
+            want = [0] * 64
+        else:
+            hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                  for s in shingles]
+            want = [min((int(a[i]) * h + int(b[i])) % M for h in hs)
+                    for i in range(64)]
+        assert got[doc_id] == want, doc_id
+    # and on the real corpus: spot-check a prefix against the python twin
+    sample = docs.limit(25).collect()
+    got_corpus = {r["doc_id"]: list(r["sig"]) for r in
+                  minhash_signatures(
+                      docs.limit(25), shingle_hash="md5_60").collect()}
+    for r in sample:
+        words = (r["text"] or "").lower().split()
+        shingles = ({" ".join(words[i:i + 3])
+                     for i in range(len(words) - 2)} if len(words) >= 3
+                    else ({" ".join(words)} if words else set()))
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+              for s in shingles]
+        want = [min((int(a[i]) * h + int(b[i])) % M for h in hs)
+                for i in range(64)]
+        assert got_corpus[r["doc_id"]] == want
+
+
 def test_minhash_estimates_track_true_jaccard(spark):
     sig = {r["doc_id"]: r["sig"] for r in minhash_signatures(dup_docs(spark)).collect()}
     est_12 = np.mean([a == b for a, b in zip(sig[1], sig[2])])
