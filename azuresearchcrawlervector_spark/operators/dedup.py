@@ -88,19 +88,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document — pure built-ins
-    (split → sequence → transform → explode), JVM-side end to end."""
+    (split → sequence → transform → explode), JVM-side end to end.
+
+    Per-doc dedup is ``array_distinct`` BEFORE the explode — duplicates
+    of a (doc_id, shingle) pair can only arise within one document, so
+    this is exactly the old post-explode ``.distinct()`` without its
+    all-rows Exchange. The token array is materialized once per row via
+    a separate projection (the lm.py ``_ts`` device) — an inlined
+    split() inside the transform lambda would re-evaluate per element,
+    O(tokens²) splits per document."""
     # NB: Spark's sequence(1, n) with n < 1 produces a DESCENDING sequence,
     # so short texts must be short-circuited to an empty array explicitly.
-    toks = f"split(lower({text_col}), '\\\\s+')"
     shingle_arr = F.expr(
-        f"CASE WHEN size({toks}) < {k} THEN array()"
-        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+        f"CASE WHEN size(_ts) < {k} THEN array()"
+        f" ELSE array_distinct(transform(sequence(1, size(_ts) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(_ts, i, {k})))) END"
     )
     return (
         _widen(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col).alias("doc_id"),
+                F.expr(f"split(lower({text_col}), '\\\\s+')").alias("_ts"))
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
     )
 
 
@@ -129,13 +137,30 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # the pruned shingle set feeds BOTH the per-doc sizes and the pair
+    # generation — without a barrier each consumer re-derives the
+    # scan→shingle subtree (4 scans / 62 Exchanges in the audited
+    # plan). localCheckpoint (not persist): it materializes inside the
+    # calling query and is NEVER plan-matched by the CacheManager, so
+    # a later query timing the same pipeline pays its own derivation
+    # instead of silently reusing this one's cache.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # per-pair intersection counts via ONE shuffle on shingle: group the
+    # posting list per shingle, expand ordered (a < b) pairs with a JVM
+    # transform, then a combinable pair-count groupBy — the old
+    # self-join shuffled `sh` twice and sorted both sides for the SMJ.
+    # Output volume is identical (Σ df·(df-1)/2 over shingles; bounded
+    # by max_df when set — the unpruned default keeps the documented
+    # exact contract and its hot-shingle quadratic caveat either way).
+    pair_arr = F.expr(
+        "flatten(transform(ids, (a, i) -> transform("
+        "slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))")
     inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     pairs = (
@@ -892,21 +917,27 @@ def passage_dedup(
     driver state.
     """
     # coalesce: a NULL text must survive as one empty passage (the
-    # "EVERY input document" contract), not vanish via posexplode(NULL)
-    toks = f"split(lower(coalesce({text_col}, '')), '\\\\s+')"
+    # "EVERY input document" contract), not vanish via posexplode(NULL).
+    # _ts materialized once per row (the lm.py device) — an inlined
+    # split() inside the transform lambda re-evaluates per element.
     if words_per_passage > 0:
         w = words_per_passage
         seg_arr = F.expr(
-            f"CASE WHEN size({toks}) = 0 THEN array() ELSE"
-            f" transform(sequence(1, CAST(ceil(size({toks}) / {w}.0) AS INT)),"
-            f" g -> concat_ws(' ', slice({toks}, (g - 1) * {w} + 1, {w}))) END"
+            f"CASE WHEN size(_ts) = 0 THEN array() ELSE"
+            f" transform(sequence(1, CAST(ceil(size(_ts) / {w}.0) AS INT)),"
+            f" g -> concat_ws(' ', slice(_ts, (g - 1) * {w} + 1, {w}))) END"
+        )
+        base = _widen(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"split(lower(coalesce({text_col}, '')), '\\\\s+')")
+             .alias("_ts"),
         )
     else:
-        seg_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-    segs = _widen(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(seg_arr).alias("pos", "passage"),
-    )
+        seg_arr = F.split(F.coalesce(F.col("_t"), F.lit("")), sep)
+        base = _widen(df).select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("_t"))
+    segs = base.select("doc_id",
+                       F.posexplode(seg_arr).alias("pos", "passage"))
     first = (
         segs.groupBy("passage")
         .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
@@ -955,16 +986,21 @@ def repeated_spans(
     point) → runs via the pos − row_number device (one window over the
     SURVIVING positions, partitioned by doc) → groupBy(doc, run).
     """
-    toks = f"split(lower({text_col}), '\\\\s+')"
+    # _ts materialized once per row (the lm.py device) — an inlined
+    # split() inside the transform lambda re-evaluates per element
     shingle_arr = F.expr(
-        f"CASE WHEN size({toks}) < {k} THEN array()"
-        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+        f"CASE WHEN size(_ts) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size(_ts) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(_ts, i, {k}))) END"
     )
     pos_sh = _widen(df).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(shingle_arr).alias("pos", "sh"),
-    )
+        F.expr(f"split(lower({text_col}), '\\\\s+')").alias("_ts"),
+    ).select("doc_id", F.posexplode(shingle_arr).alias("pos", "sh"))
+    # both the global shingle counts and the position-marking semi-join
+    # consume pos_sh — the barrier computes the scan+explode once
+    # (localCheckpoint, not persist: no cross-query cache reuse)
+    pos_sh = pos_sh.localCheckpoint(eager=True)
     dup = (pos_sh.groupBy("sh").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count).select("sh"))
     marked = pos_sh.join(dup, "sh", "left_semi").select("doc_id", "pos")
