@@ -72,3 +72,30 @@ def test_curate_corpus_v2_stage_semantics(spark):
     assert set(out) == {2, 5}
     assert out[2]["n_kept"] == 2 and out[2]["dup_bigram_frac"] == 0.0
     assert out[5]["lang"] == "de"
+
+
+def test_curation_v2_barrier_scan_count(spark):
+    """The materialization barriers (round-5 VERDICT #3) must collapse
+    the composed plan: with materialize=True the FINAL plan reads only
+    the checkpointed stage outputs plus the base table for the
+    group-col join — a handful of scans, not the audited 38-scan /
+    128-Exchange re-derivation. And both modes agree exactly."""
+    from azuresearchcrawlervector_spark.operators.curation import (
+        curate_corpus_v2,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} alpha beta gamma "
+             f"delta epsilon zeta eta theta iota kappa", "en")
+         for i in range(40)],
+        "doc_id long, text string, lang string")
+    bench = spark.createDataFrame([(9, "tok1 tok2 tok3")],
+                                  "bench_id long, text string")
+    fast = curate_corpus_v2(docs, bench, target_shares={"en": 1.0},
+                            total=100)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan ")
+    assert n_scans <= 8, plan
+    slow = curate_corpus_v2(docs, bench, target_shares={"en": 1.0},
+                            total=100, materialize=False)
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
