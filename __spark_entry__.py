@@ -545,11 +545,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang"))
 
     def q_pack_sequences(spark, sf):
-        # concat-and-chunk packing layout via distributed prefix sum
+        # concat-and-chunk packing layout via distributed prefix sum.
+        # seq_id/seq_off are cast to DOUBLE: the oracle's windowed
+        # sum() is HUGEINT in DuckDB, so its `start // 512` reaches the
+        # driver's comparator as float64 ("1953.0") while a BIGINT here
+        # stringified as "1953" — the round-5 hash_match=false cell.
+        # Values are integral either way (verified exact both sides at
+        # sf0.01 and sf0.1); the cast only aligns the representation.
         from azuresearchcrawlervector_spark.operators.packing import (
             pack_sequences)
         d = spark.read.parquet(_t(sf, "documents"))
-        return pack_sequences(d, seq_len=512).orderBy("doc_id")
+        return (pack_sequences(d, seq_len=512)
+                .withColumn("seq_id", F.col("seq_id").cast("double"))
+                .withColumn("seq_off", F.col("seq_off").cast("double"))
+                .orderBy("doc_id"))
 
     def q_bm25(spark, sf):
         # Okapi BM25 top-10 for a 3-term query over the corpus — the

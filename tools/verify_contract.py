@@ -31,6 +31,14 @@ def normalize(rows, cols):
                     v = "nan"
                 else:
                     v = round(v, 9)
+                    # canonicalize integral floats to int repr: DuckDB's
+                    # python client returns HUGEINT-derived values as
+                    # int while the driver's Arrow path sees float64
+                    # ("1953.0") — pack_sequences casts its Spark side
+                    # to double for the driver, and this keeps the
+                    # local stand-in representation-insensitive
+                    if isinstance(v, float) and v.is_integer():
+                        v = int(v)
             vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
