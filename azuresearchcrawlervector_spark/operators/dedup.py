@@ -767,24 +767,38 @@ def embedding_neardup_lsh(
     if planes_per_table is None:
         planes_per_table = _auto_planes(n_rows)
     planes = hyperplanes(dim, n_tables * planes_per_table, seed)
-    bucket_arr = F.array(*[
-        F.expr(_bucket_expr(
-            planes[t * planes_per_table:(t + 1) * planes_per_table], vec_col))
-        for t in range(n_tables)
-    ])
-    banded = _widen(df).select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(bucket_arr).alias("tbl", "bucket"),
-    )
+    small = n_rows * dim * 8 <= NEARDUP_BCAST_VERIFY_BYTES
+    if small:
+        # small-table fast path: ONE driver collect feeds both the
+        # bucket signatures (numpy, same float64 dot order as the SQL
+        # projection — bit-identical buckets, pinned by the parity
+        # test) and the broadcast verify kernel. This also skips
+        # Catalyst analysis+codegen of the n_tables×planes×dim literal
+        # hyperplane tree (~3k array literals at the 10x scale), which
+        # costs seconds per call.
+        ids_sorted, E, nrm = _collect_vectors(df, dim, vec_col, id_col)
+        banded = _numpy_banded(df.sparkSession, ids_sorted, E, planes,
+                               n_tables, planes_per_table)
+    else:
+        bucket_arr = F.array(*[
+            F.expr(_bucket_expr(
+                planes[t * planes_per_table:(t + 1) * planes_per_table],
+                vec_col))
+            for t in range(n_tables)
+        ])
+        banded = _widen(df).select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(bucket_arr).alias("tbl", "bucket"),
+        )
     cand = (
         banded.alias("x").join(banded.alias("y"), on=["tbl", "bucket"])
         .filter(F.col("x.vid") < F.col("y.vid"))
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
-    if n_rows * dim * 8 <= NEARDUP_BCAST_VERIFY_BYTES:
-        return _neardup_verify_bcast(df, cand, dim, vec_col, id_col,
-                                     threshold)
+    if small:
+        return _neardup_verify_bcast(df, cand, threshold,
+                                     vectors=(ids_sorted, E, nrm))
     withnorm = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -811,9 +825,51 @@ def embedding_neardup_lsh(
     )
 
 
-def _neardup_verify_bcast(df: DataFrame, cand: DataFrame, dim: int,
-                          vec_col: str, id_col: str,
-                          threshold: float) -> DataFrame:
+def _collect_vectors(df: DataFrame, dim: int, vec_col: str, id_col: str):
+    """(ids_sorted, E, nrm): the whole vector table as an id-sorted
+    float64 numpy matrix + norms. Norms use the same sequential
+    element-add order as the SQL aggregate. Small-table path only —
+    gated by NEARDUP_BCAST_VERIFY_BYTES at the call site."""
+    rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")) \
+        .toPandas()
+    ids = np.asarray(rows["i"], dtype=np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    E = np.asarray([np.asarray(v, dtype=np.float64) for v in rows["v"]])
+    E = E[order] if len(E) else E.reshape(0, dim)
+    nrm = np.zeros(len(E))
+    for j in range(E.shape[1]):
+        nrm += E[:, j] * E[:, j]
+    return ids_sorted, E, np.sqrt(nrm)
+
+
+def _numpy_banded(spark, ids_sorted: np.ndarray, E: np.ndarray,
+                  planes: np.ndarray, n_tables: int,
+                  planes_per_table: int) -> DataFrame:
+    """(vid, tbl, bucket) rows computed driver-side from the collected
+    matrix — bit-identical buckets to the SQL literal-tree projection:
+    each hyperplane dot adds products element 0..dim-1 sequentially
+    (separate multiply/add ufuncs, no FMA), and the sign compare is the
+    same `> 0` on the same double."""
+    n = len(E)
+    buckets = np.zeros((n, n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(planes_per_table):
+            plane = planes[t * planes_per_table + p]
+            acc = np.zeros(n)
+            for j in range(E.shape[1]):
+                acc += E[:, j] * plane[j]
+            buckets[:, t] += (acc > 0).astype(np.int64) << p
+    bdf = pd.DataFrame({
+        "vid": np.repeat(ids_sorted, n_tables),
+        "tbl": np.tile(np.arange(n_tables, dtype=np.int64), n),
+        "bucket": buckets.reshape(-1),
+    })
+    return spark.createDataFrame(bdf, "vid long, tbl long, bucket long")
+
+
+def _neardup_verify_bcast(df: DataFrame, cand: DataFrame,
+                          threshold: float, vectors) -> DataFrame:
     """Exact-cosine verify of (id_a, id_b) candidate pairs with the
     whole vector table broadcast as a numpy matrix — the small-table
     fast path (gate: NEARDUP_BCAST_VERIFY_BYTES).
@@ -828,17 +884,7 @@ def _neardup_verify_bcast(df: DataFrame, cand: DataFrame, dim: int,
     test_emb_neardup_lsh_bcast_verify_parity.
     """
     spark = df.sparkSession
-    rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")) \
-        .toPandas()
-    ids = np.asarray(rows["i"], dtype=np.int64)
-    order = np.argsort(ids)
-    ids_sorted = ids[order]
-    E = np.asarray([np.asarray(v, dtype=np.float64) for v in rows["v"]])
-    E = E[order] if len(E) else E.reshape(0, dim)
-    nrm = np.zeros(len(E))
-    for j in range(E.shape[1]):
-        nrm += E[:, j] * E[:, j]
-    nrm = np.sqrt(nrm)
+    ids_sorted, E, nrm = vectors
     bc = spark.sparkContext.broadcast((ids_sorted, E, nrm))
 
     def verify(batches):
