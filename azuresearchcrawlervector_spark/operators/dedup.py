@@ -322,14 +322,17 @@ def minhash_signatures(
                     mins_parts.append(np.minimum.reduceat(
                         perm, offsets[d0:d1] - lo, axis=0))
                     d0 = d1
-                mins = np.concatenate(mins_parts, axis=0)
-            zeros = [0] * n_hashes
+                mins = np.concatenate(mins_parts, axis=0).astype(np.int64)
+            # numpy row views, not .tolist(): Arrow consumes ndarray
+            # cells directly — boxing 64 Python ints per doc measurably
+            # dominates the kernel at millions of docs
+            zeros = np.zeros(n_hashes, dtype=np.int64)
             out, mi = [], 0
             for idx in per_doc:
                 if idx is None:
                     out.append(zeros)
                 else:
-                    out.append(mins[mi].astype(np.int64).tolist())
+                    out.append(mins[mi])
                     mi += 1
             return pd.Series(out)
 
@@ -378,14 +381,14 @@ def minhash_signatures(
                 mins_parts.append(np.minimum.reduceat(
                     perm, offsets[d0:d1] - lo, axis=0))
                 d0 = d1
-            mins = np.concatenate(mins_parts, axis=0)
-        zeros = [0] * n_hashes
+            mins = np.concatenate(mins_parts, axis=0).astype(np.int64)
+        zeros = np.zeros(n_hashes, dtype=np.int64)
         out, mi = [], 0
         for idx in per_doc:
             if idx is None:
                 out.append(zeros)
             else:
-                out.append(mins[mi].astype(np.int64).tolist())
+                out.append(mins[mi])
                 mi += 1
         return pd.Series(out)
 
