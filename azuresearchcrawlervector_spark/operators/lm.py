@@ -60,8 +60,15 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
     a 100 TB model joinable)."""
     bg = doc_bigrams(df, text_col, id_col)
     with_w1 = bg.withColumn("w1", F.split("bg", " ").getItem(0))
-    c2 = with_w1.groupBy("bg", "w1").agg(F.count("*").alias("c2"))
-    c1 = with_w1.groupBy("w1").agg(F.count("*").alias("c1"))
+    # ONE pass over the bigram occurrences: c2 is materialized
+    # (localCheckpoint — model-sized, i.e. distinct bigrams, never the
+    # occurrence stream), and c1 derives FROM c2 (occurrences of w1 as
+    # a prefix = Σ over its bigrams of c2 — exactly the old direct
+    # count). The previous formulation exploded the corpus three times
+    # (c2, c1, and the v-count action re-running c1's whole pipeline).
+    c2 = (with_w1.groupBy("bg", "w1").agg(F.count("*").alias("c2"))
+          .localCheckpoint(eager=True))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c1.count()
     model = c2.join(c1, "w1").select("bg", "w1", "c2", "c1")
     if min_count > 1:

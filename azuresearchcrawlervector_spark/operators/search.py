@@ -35,12 +35,18 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def bm25_index(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
     """(postings, doclens): postings = (tok, doc_id, tf) — the
-    inverted index; doclens = (doc_id, dl). Both are combinable
-    single-shuffle groupBys; persist them bucketed by tok / doc_id
-    for a standing index."""
+    inverted index; doclens = (doc_id, dl). Postings are one combinable
+    groupBy; doclens is a NARROW projection (dl = token-array size, no
+    explode, no shuffle), filtered to dl > 0 so the doc set is exactly
+    the docs-with-≥1-token set the exploded form produced. Persist
+    them bucketed by tok / doc_id for a standing index."""
     toks = _tokens(df, text_col, id_col)
     postings = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
-    doclens = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    doclens = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.size(F.expr(_TOKS.format(col=text_col))).alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
     return postings, doclens
 
 
