@@ -953,18 +953,95 @@ class CrawlEngine:
             doc_path = doc_f.result()
         _mark("log_docs_write")
 
-        # wave stats from the written log (slim columns, sub-second read)
-        part_rows = (
-            spark.read.parquet(log_path)
-            .groupBy("partition_id")
-            .agg(
-                F.sum((F.col("state") == "fetched").cast("long")).alias("fetched"),
-                F.sum((F.col("state") != "fetched").cast("long")).alias("failed"),
-            ).collect()
+        # --- wave-tail jobs: stats readback, pending write, sketch
+        # update. All three are INDEPENDENT Spark jobs (the readback
+        # reads the just-written log file; pending' reads the extracted
+        # cache + the PREVIOUS sketch snapshot — the probe handle took
+        # a copy of the index, and the monolithic Bloom's bits were
+        # broadcast at plan-build time, so the concurrent merge below
+        # cannot affect it; the sketch merge reads the fetch cache) —
+        # run them concurrently so the tail of one job's stages
+        # back-fills cores freed by another (guide §2.6). The empty-
+        # final-wave check moves AFTER the pool: a would-be-final wave
+        # then leaves an orphan pending file + an unchanged-content
+        # sketch version, exactly the state a crash would leave (the
+        # committed manifest references neither).
+        from pyspark.sql import Observation
+
+        def _stats_job():
+            return (
+                spark.read.parquet(log_path)
+                .groupBy("partition_id")
+                .agg(
+                    F.sum((F.col("state") == "fetched").cast("long"))
+                     .alias("fetched"),
+                    F.sum((F.col("state") != "fetched").cast("long"))
+                     .alias("failed"),
+                ).collect()
+            )
+
+        obs = Observation(f"pending_{i}")
+        pending_obs = pending_next.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("iter_added") == i).cast("long")).alias("new"),
         )
+
+        def _pending_job():
+            # pending counts ride the write job via observe()
+            path = self.store.write_pending(pending_obs, i)
+            return path, int(obs.get["n"]), int(obs.get["new"] or 0)
+
+        def _sketch_job():
+            # fold THIS wave's seen delta into the incremental sketch
+            # and snapshot it (bits file, manifest-referenced) —
+            # O(delta) work off the fetch cache, independent of crawl
+            # history
+            if self._sketch_sharded:
+                # file-side merge: each task ORs its delta shard into
+                # the previous snapshot file and writes the new version
+                # DIRECTLY to the store; clean shards keep their
+                # previous (immutable) file. Per-wave snapshot I/O is
+                # bounded by the delta's shard coverage and the driver
+                # handles only the {shard: path} rows — no driver
+                # state scales with the sketch (round-3 VERDICT #1).
+                from ..operators.seen import merge_delta_sharded_files
+                dirty = merge_delta_sharded_files(
+                    seen_delta.select("url_hash"), "url_hash",
+                    self._n_shards, self._shard_bits,
+                    self._sketch_index, self.store.sketch_dir(), i)
+                self._sketch_index.update(dirty)
+                return self.store.write_sketch_index(self._sketch_index, i)
+            delta_sk = merged_sketch(
+                seen_delta.select("url_hash"), "url_hash",
+                self._seen_sketch.n_bits)
+            self._seen_sketch.merge_(delta_sk.bits)
+            return self.store.write_sketch(
+                self._seen_sketch.bits.tobytes(), i)
+
+        if os.environ.get("SPARK_CRAWL_SEQ_TAIL"):
+            # sequential fallback (A/B + debugging)
+            part_rows = _stats_job()
+            _mark("stats_readback")
+            pending_path, pending_next_n, new_links_n = _pending_job()
+            _mark("pending_write")
+            sketch_path = (_sketch_job() if self._sketch_enabled
+                           else m.seen_sketch_path)
+            if self._sketch_enabled:
+                _mark("sketch_update")
+        else:
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                stats_f = pool.submit(_stats_job)
+                pend_f = pool.submit(_pending_job)
+                sk_f = (pool.submit(_sketch_job)
+                        if self._sketch_enabled else None)
+                part_rows = stats_f.result()
+                pending_path, pending_next_n, new_links_n = pend_f.result()
+                sketch_path = (sk_f.result() if sk_f is not None
+                               else m.seen_sketch_path)
+            _mark("tail_writes")
         ok_n = int(sum(r["fetched"] or 0 for r in part_rows))
         due_n = int(ok_n + sum(r["failed"] or 0 for r in part_rows))
-        _mark("stats_readback")
         if due_n == 0:
             # politeness budgets can't starve forever (budget ≥ 1/host),
             # so an empty wave means the frontier is exhausted: finish
@@ -981,19 +1058,6 @@ class CrawlEngine:
             self.store.commit(m)
             return m
 
-        # pending counts ride the write job via observe() — no extra action
-        from pyspark.sql import Observation
-        obs = Observation(f"pending_{i}")
-        pending_obs = pending_next.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("iter_added") == i).cast("long")).alias("new"),
-        )
-        pending_path = self.store.write_pending(pending_obs, i)
-        pending_next_n = int(obs.get["n"])
-        new_links_n = int(obs.get["new"] or 0)
-        _mark("pending_write")
-
         # P3: persist the deferred-embed queue (full rewrite, like
         # pending; counts ride the write via observe)
         queue_path, queue_n = m.embed_queue_path, m.embed_queue_count
@@ -1003,36 +1067,6 @@ class CrawlEngine:
             queue_path = self.store.write_delta(carry_q, "embed_queue", i)
             queue_n = int(qobs.get["n"])
             _mark("embed_queue_write")
-
-        # fold THIS wave's seen delta into the incremental sketch and
-        # snapshot it (bits file, manifest-referenced) — O(delta) work
-        # off the fetch cache, independent of crawl history
-        sketch_path = m.seen_sketch_path
-        if self._sketch_enabled:
-            if self._sketch_sharded:
-                # file-side merge: each task ORs its delta shard into
-                # the previous snapshot file and writes the new version
-                # DIRECTLY to the store; clean shards keep their
-                # previous (immutable) file. Per-wave snapshot I/O is
-                # bounded by the delta's shard coverage and the driver
-                # handles only the {shard: path} rows — no driver
-                # state scales with the sketch (round-3 VERDICT #1).
-                from ..operators.seen import merge_delta_sharded_files
-                dirty = merge_delta_sharded_files(
-                    seen_delta.select("url_hash"), "url_hash",
-                    self._n_shards, self._shard_bits,
-                    self._sketch_index, self.store.sketch_dir(), i)
-                self._sketch_index.update(dirty)
-                sketch_path = self.store.write_sketch_index(
-                    self._sketch_index, i)
-            else:
-                delta_sk = merged_sketch(
-                    seen_delta.select("url_hash"), "url_hash",
-                    self._seen_sketch.n_bits)
-                self._seen_sketch.merge_(delta_sk.bits)
-                sketch_path = self.store.write_sketch(
-                    self._seen_sketch.bits.tobytes(), i)
-            _mark("sketch_update")
 
         # metrics: per-partition fetch lineage rows + a global (-1) row,
         # committed inside the manifest (no extra write job)
